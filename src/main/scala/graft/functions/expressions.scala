@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.geom.Geom
+import graft.grid.{CellIndex, TileGridSpec}
+
+/** Hierarchical cell-id encode as a native Catalyst expression with
+  * `doGenCode` — the batched geocode encode fuses into whole-stage
+  * codegen (north-star requirement; replaces the reference's per-tile
+  * rtree indexing with closed-form arithmetic).
+  *
+  * `CellIndex` is a top-level Scala object, so the generated Java calls
+  * its static forwarder directly — straight-line, allocation-free.
+  */
+case class CellEncode(x: Expression, y: Expression,
+                      level: Int, extentX: Double, extentY: Double)
+    extends BinaryExpression {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_encode"
+
+  override protected def nullSafeEval(xv: Any, yv: Any): Any =
+    CellIndex.encode(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      level, extentX, extentY)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xv, yv) =>
+      s"graft.grid.CellIndex.encode($xv, $yv, $level, ${extentX}D, ${extentY}D)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(x = l, y = r)
+}
+
+/** Array of tile ids of the overlapping grid covering point (x, y) —
+  * the page⨝tile spatial join reduced to per-row arithmetic over the
+  * broadcastable [[TileGridSpec]] (SURVEY.md T1/T5: the "spatial join →
+  * equi-join" trick). Codegen calls `spec.covering` via a reference
+  * object, staying inside the whole-stage-generated projection. */
+case class CoveringTiles(x: Expression, y: Expression, spec: TileGridSpec)
+    extends BinaryExpression {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "covering_tiles"
+
+  override protected def nullSafeEval(xv: Any, yv: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      spec.covering(xv.asInstanceOf[Double], yv.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("tileGridSpec", spec, classOf[TileGridSpec].getName)
+    defineCodeGen(ctx, ev, (xv, yv) =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($specRef.covering($xv, $yv))")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(x = l, y = r)
+}
+
+/** Even-odd ray-casting point-in-polygon over a flat coords array
+  * (x0,y0,x1,y1,...). Interpreted (`CodegenFallback`) — polygon clipping
+  * math stays out of generated Java, but the expression still sits
+  * inside a codegen'd stage (SURVEY.md §4). */
+case class STContainsPoint(poly: Expression, x: Expression, y: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = poly
+  override def second: Expression = x
+  override def third: Expression = y
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains_point"
+
+  override protected def nullSafeEval(p: Any, xv: Any, yv: Any): Any =
+    Geom.containsPoint(p.asInstanceOf[ArrayData].toDoubleArray(),
+      xv.asInstanceOf[Double], yv.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(poly = a, x = b, y = c)
+}
+
+/** Exact polygon-pair predicates/measures over flat coord arrays. */
+case class STIntersects(a: Expression, b: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_intersects"
+  override protected def nullSafeEval(av: Any, bv: Any): Any =
+    Geom.intersects(av.asInstanceOf[ArrayData].toDoubleArray(),
+      bv.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+/** Exact IoU for convex polygons (clip + inclusion-exclusion) — the
+  * residual predicate of the IoU dedup join (instanceprocessor.py
+  * 265-294 semantics over convex crowns). */
+case class PolyIoU(a: Expression, b: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_iou"
+  override protected def nullSafeEval(av: Any, bv: Any): Any =
+    Geom.iouConvex(av.asInstanceOf[ArrayData].toDoubleArray(),
+      bv.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+/** Polygon area (shoelace) over a flat coords array. */
+case class STArea(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_area"
+  override protected def nullSafeEval(v: Any): Any =
+    Geom.area(v.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

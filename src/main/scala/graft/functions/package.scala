@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions._
+
+import graft.grid.TileGridSpec
+
+/** Column-space API over the engine's Catalyst expressions, plus
+  * pure-`org.apache.spark.sql.functions` compositions for everything
+  * arithmetic (those stay fully codegen'd with zero custom code).
+  */
+package object functions {
+
+  @inline private def toCol(e: Expression): Column = Bridge.column(e)
+  @inline private def toExpr(c: Column): Expression = Bridge.expression(c)
+
+  /** Hierarchical cell id of (x, y) at `level` over the extent. */
+  def cell_encode(x: Column, y: Column, level: Int,
+                  extentX: Double, extentY: Double): Column =
+    toCol(CellEncode(toExpr(x), toExpr(y), level, extentX, extentY))
+
+  /** Ids of overlapping-grid tiles covering (x, y). */
+  def covering_tiles(x: Column, y: Column, spec: TileGridSpec): Column =
+    toCol(CoveringTiles(toExpr(x), toExpr(y), spec))
+
+  /** Ray-casting point-in-polygon (flat coords array). */
+  def st_contains_point(poly: Column, x: Column, y: Column): Column =
+    toCol(STContainsPoint(toExpr(poly), toExpr(x), toExpr(y)))
+
+  def st_intersects(a: Column, b: Column): Column =
+    toCol(STIntersects(toExpr(a), toExpr(b)))
+
+  def poly_iou(a: Column, b: Column): Column =
+    toCol(PolyIoU(toExpr(a), toExpr(b)))
+
+  def st_area(poly: Column): Column = toCol(STArea(toExpr(poly)))
+
+  /** bbox IoU as a pure-builtin composition — fully codegen'd. */
+  def bbox_iou(aMinX: Column, aMinY: Column, aMaxX: Column, aMaxY: Column,
+               bMinX: Column, bMinY: Column, bMaxX: Column, bMaxY: Column): Column = {
+    val ix = greatest(lit(0.0), least(aMaxX, bMaxX) - greatest(aMinX, bMinX))
+    val iy = greatest(lit(0.0), least(aMaxY, bMaxY) - greatest(aMinY, bMinY))
+    val inter = ix * iy
+    val areaA = (aMaxX - aMinX) * (aMaxY - aMinY)
+    val areaB = (bMaxX - bMinX) * (bMaxY - bMinY)
+    val u = areaA + areaB - inter
+    when(u <= 0.0, 0.0).otherwise(inter / u)
+  }
+
+  /** bbox-overlap predicate on flat bbox columns (range-join shape). */
+  def bbox_intersects(aMinX: Column, aMinY: Column, aMaxX: Column, aMaxY: Column,
+                      bMinX: Column, bMinY: Column, bMaxX: Column, bMaxY: Column): Column =
+    aMinX <= bMaxX && bMinX <= aMaxX && aMinY <= bMaxY && bMinY <= aMaxY
+}

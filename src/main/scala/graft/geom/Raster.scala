@@ -1,0 +1,260 @@
+package graft.geom
+
+/** Raster↔vector kernels (pure Scala, zero Spark deps).
+  *
+  * Re-creates the reference's rasterio/pycocotools kernels:
+  *  - polygon→mask scanline rasterize (util.py:112-125 `polygon_to_mask`)
+  *  - COCO-style column-major RLE encode/decode
+  *    (processedinstance.py:102-147)
+  *  - mask paste with max/min merge (util.py:476-528 `paste_array`)
+  *  - union area of many polygons via rasterization — the reference's
+  *    masks ARE the ground truth geometry, so rasterized union area is
+  *    the faithful semantic for dissolve stats.
+  */
+object Raster {
+
+  /** Scanline even-odd polygon fill into a row-major byte mask of
+    * (rows x cols), with the polygon expressed in local mask coords.
+    * Pixel (r,c) is set iff its center (c+0.5, r+0.5) is inside —
+    * matching rasterio's default center sampling. */
+  def rasterize(coords: Array[Double], rows: Int, cols: Int,
+                mask: Array[Byte] = null): Array[Byte] = {
+    val out = if (mask != null) mask else new Array[Byte](rows * cols)
+    val n = coords.length / 2
+    if (n < 3) return out
+    var r = 0
+    val xs = new Array[Double](n + 1) // crossing buffer
+    while (r < rows) {
+      val py = r + 0.5
+      var k = 0
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val yi = coords(2 * i + 1); val yj = coords(2 * j + 1)
+        if ((yi > py) != (yj > py)) {
+          val xi = coords(2 * i); val xj = coords(2 * j)
+          xs(k) = xi + (py - yi) / (yj - yi) * (xj - xi)
+          k += 1
+        }
+        j = i
+        i += 1
+      }
+      java.util.Arrays.sort(xs, 0, k)
+      var p = 0
+      while (p + 1 < k) {
+        var c0 = math.ceil(xs(p) - 0.5).toInt
+        var c1 = math.floor(xs(p + 1) - 0.5).toInt
+        if (c0 < 0) c0 = 0
+        if (c1 >= cols) c1 = cols - 1
+        var c = c0
+        while (c <= c1) { out(r * cols + c) = 1; c += 1 }
+        p += 2
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Union area of polygons by rasterizing into a shared mask over
+    * `bbox` at unit (pixel) resolution — exact for the integer-snapped
+    * crowns of the reference (masks are the source geometry). */
+  def unionArea(polys: Seq[Array[Double]], bbox: Geom.BBox): Double = {
+    val cols = math.max(1, math.ceil(bbox.maxX - bbox.minX).toInt)
+    val rows = math.max(1, math.ceil(bbox.maxY - bbox.minY).toInt)
+    val mask = new Array[Byte](rows * cols)
+    polys.foreach { p => rasterize(Geom.translate(p, -bbox.minX, -bbox.minY), rows, cols, mask) }
+    var s = 0L
+    var i = 0
+    while (i < mask.length) { s += mask(i); i += 1 }
+    s.toDouble
+  }
+
+  /** COCO RLE encode: column-major (Fortran order) run lengths of
+    * alternating 0/1 runs, starting with a 0-run (possibly length 0).
+    * Matches pycocotools' uncompressed `counts` list semantics. */
+  def rleEncode(mask: Array[Byte], rows: Int, cols: Int): Array[Int] = {
+    val counts = new scala.collection.mutable.ArrayBuffer[Int]()
+    var cur: Byte = 0
+    var run = 0
+    var c = 0
+    while (c < cols) {
+      var r = 0
+      while (r < rows) {
+        val v: Byte = if (mask(r * cols + c) != 0) 1 else 0
+        if (v == cur) run += 1
+        else { counts += run; cur = v; run = 1 }
+        r += 1
+      }
+      c += 1
+    }
+    counts += run
+    counts.toArray
+  }
+
+  /** Inverse of [[rleEncode]]. */
+  def rleDecode(counts: Array[Int], rows: Int, cols: Int): Array[Byte] = {
+    val mask = new Array[Byte](rows * cols)
+    var pos = 0
+    var v: Byte = 0
+    var i = 0
+    while (i < counts.length) {
+      var k = 0
+      while (k < counts(i)) {
+        val r = pos % rows; val c = pos / rows
+        mask(r * cols + c) = v
+        pos += 1
+        k += 1
+      }
+      v = (1 - v).toByte
+      i += 1
+    }
+    mask
+  }
+
+  /** Paste `src` (rows×cols at offset (dr,dc)) into `dst`
+    * (dstRows×dstCols) with merge semantics: 0=overwrite, 1=max, 2=min.
+    * Mirrors util.py:476-528. */
+  def paste(dst: Array[Byte], dstRows: Int, dstCols: Int,
+            src: Array[Byte], rows: Int, cols: Int,
+            dr: Int, dc: Int, mode: Int): Unit = {
+    var r = 0
+    while (r < rows) {
+      val tr = r + dr
+      if (tr >= 0 && tr < dstRows) {
+        var c = 0
+        while (c < cols) {
+          val tc = c + dc
+          if (tc >= 0 && tc < dstCols) {
+            val s = src(r * cols + c)
+            val di = tr * dstCols + tc
+            mode match {
+              case 0 => dst(di) = s
+              case 1 => if ((s & 0xff) > (dst(di) & 0xff)) dst(di) = s
+              case 2 => if ((s & 0xff) < (dst(di) & 0xff)) dst(di) = s
+            }
+          }
+          c += 1
+        }
+      }
+      r += 1
+    }
+  }
+
+  /** mask→polygon: trace the outer boundary of each connected component
+    * (Moore-neighbor border following on the pixel grid), returning
+    * pixel-corner rings. The lightweight analogue of
+    * rasterio.features.shapes (util.py:82-109 `mask_to_polygon`). Only
+    * outer rings (no holes) — sufficient for crown blobs. */
+  def vectorize(mask: Array[Byte], rows: Int, cols: Int): Seq[Array[Double]] = {
+    val labels = connectedComponents(mask, rows, cols)
+    val nLabels = if (labels.isEmpty) 0 else labels.max
+    (1 to nLabels).map { lbl =>
+      // boundary = cell edges between labeled and unlabeled pixels; walk
+      // the outer contour by marching around the component's border.
+      traceBoundary(labels, rows, cols, lbl)
+    }.filter(_.length >= 6)
+  }
+
+  /** 4-connected component labeling (two-pass union-find). Mirrors
+    * skimage.measure.label as used in tools/make_masks.py:64-87. */
+  def connectedComponents(mask: Array[Byte], rows: Int, cols: Int): Array[Int] = {
+    val labels = new Array[Int](rows * cols)
+    val uf = new Geom.UnionFind(rows * cols / 2 + 2)
+    var next = 1
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        if (mask(r * cols + c) != 0) {
+          val up = if (r > 0) labels((r - 1) * cols + c) else 0
+          val left = if (c > 0) labels(r * cols + c - 1) else 0
+          val lbl =
+            if (up == 0 && left == 0) { val l = next; next += 1; l }
+            else if (up == 0) left
+            else if (left == 0) up
+            else { uf.union(up, left); math.min(up, left) }
+          labels(r * cols + c) = lbl
+        }
+        c += 1
+      }
+      r += 1
+    }
+    // compress to canonical, densely renumbered labels
+    val remap = new java.util.HashMap[Int, Int]()
+    var dense = 0
+    var i = 0
+    while (i < labels.length) {
+      if (labels(i) != 0) {
+        val root = uf.find(labels(i))
+        var d = remap.getOrDefault(root, 0)
+        if (d == 0) { dense += 1; d = dense; remap.put(root, d) }
+        labels(i) = d
+      }
+      i += 1
+    }
+    labels
+  }
+
+  /** Trace the outer boundary of component `lbl` clockwise along pixel
+    * edges, starting from its top-left-most pixel. Returns corner
+    * coordinates (x=col, y=row). */
+  private def traceBoundary(labels: Array[Int], rows: Int, cols: Int, lbl: Int): Array[Double] = {
+    def at(r: Int, c: Int): Boolean =
+      r >= 0 && r < rows && c >= 0 && c < cols && labels(r * cols + c) == lbl
+    // find start pixel
+    var sr = -1; var sc = -1
+    var i = 0
+    while (i < labels.length && sr < 0) {
+      if (labels(i) == lbl) { sr = i / cols; sc = i % cols }
+      i += 1
+    }
+    if (sr < 0) return Array.emptyDoubleArray
+    // square-tracing on the corner lattice. State: corner (x,y) + heading.
+    // Start at the top-left corner of the start pixel heading east along
+    // its top edge (the pixel above is guaranteed empty).
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    var x = sc; var y = sr
+    var dx = 1; var dy = 0
+    val x0 = x; val y0 = y
+    var steps = 0
+    val maxSteps = 4 * (rows + 2) * (cols + 2)
+    do {
+      out += x.toDouble; out += y.toDouble
+      // advance one edge, then turn based on the two pixels ahead.
+      x += dx; y += dy
+      // pixels left/right of the new heading position determine the turn.
+      // heading east: leftPix=(y-1,x), rightPix=(y,x); north: left=(y-1,x-1) right=(y-1,x);
+      // west: left=(y,x-1) right=(y-1,x-1); south: left=(y,x) right=(y,x-1)
+      val (lpr, lpc, rpr, rpc) = (dx, dy) match {
+        case (1, 0)  => (y - 1, x, y, x)
+        case (0, -1) => (y - 1, x - 1, y - 1, x)
+        case (-1, 0) => (y, x - 1, y - 1, x - 1)
+        case _       => (y, x, y, x - 1)
+      }
+      val leftIn = at(lpr, lpc)
+      val rightIn = at(rpr, rpc)
+      if (leftIn) { val t = dx; dx = dy; dy = -t }        // turn left
+      else if (!rightIn) { val t = dx; dx = -dy; dy = t } // turn right
+      // else continue straight
+      steps += 1
+    } while ((x != x0 || y != y0) && steps < maxSteps)
+    // drop collinear interior vertices
+    dedupCollinear(out.toArray)
+  }
+
+  private def dedupCollinear(c: Array[Double]): Array[Double] = {
+    val n = c.length / 2
+    if (n < 4) return c
+    val out = new scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < n) {
+      val p = (i + n - 1) % n
+      val q = (i + 1) % n
+      val cross = (c(2 * i) - c(2 * p)) * (c(2 * q + 1) - c(2 * p + 1)) -
+                  (c(2 * i + 1) - c(2 * p + 1)) * (c(2 * q) - c(2 * p))
+      if (math.abs(cross) > 1e-12) { out += c(2 * i); out += c(2 * i + 1) }
+      i += 1
+    }
+    out.toArray
+  }
+}

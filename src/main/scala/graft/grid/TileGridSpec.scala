@@ -1,0 +1,56 @@
+package graft.grid
+
+/** Immutable, serializable description of one overlapping tile grid with
+  * precomputed edge arrays — broadcast-friendly (a few hundred bytes) and
+  * shared by the covering-tiles expression so the per-row work is two
+  * small scans over cached edges, no allocation beyond the result.
+  *
+  * Mirrors the reference grid contract (data/tiling.py:47-173); see
+  * [[Tiler]] for the integer-exact linspace semantics.
+  */
+final case class TileGridSpec(width: Long, height: Long, tileSize: Long, minOverlap: Long)
+    extends Serializable {
+  val overlap: Long =
+    if (width - tileSize <= 0 && height - tileSize <= 0) 0L else minOverlap
+  val nx: Int = Tiler.nTiles(width, tileSize, overlap)
+  val ny: Int = Tiler.nTiles(height, tileSize, overlap)
+  val xEdges: Array[Long] = Tiler.linspaceInt(width - tileSize, nx)
+  val yEdges: Array[Long] = Tiler.linspaceInt(height - tileSize, ny)
+  def nTiles: Int = nx * ny
+
+  def tile(id: Long): Tiler.Tile = {
+    val xi = (id % nx).toInt
+    val yi = (id / nx).toInt
+    Tiler.Tile(id, xEdges(xi), yEdges(yi), xEdges(xi) + tileSize, yEdges(yi) + tileSize)
+  }
+
+  def tiles: Array[Tiler.Tile] = Array.tabulate(nTiles)(i => tile(i.toLong))
+
+  /** Ids of tiles whose half-open box [min, min+tile) contains (x, y).
+    * Hot-path: called once per input row in the page⨝tile join. */
+  def covering(x: Double, y: Double): Array[Long] = {
+    // stride >= tileSize - overlap, so at most ceil(tile/stride)+1 hits/axis
+    var xi0 = -1; var xi1 = -2
+    var i = 0
+    while (i < nx) {
+      if (x >= xEdges(i) && x < xEdges(i) + tileSize) { if (xi0 < 0) xi0 = i; xi1 = i }
+      i += 1
+    }
+    var yi0 = -1; var yi1 = -2
+    i = 0
+    while (i < ny) {
+      if (y >= yEdges(i) && y < yEdges(i) + tileSize) { if (yi0 < 0) yi0 = i; yi1 = i }
+      i += 1
+    }
+    if (xi0 < 0 || yi0 < 0) return Array.emptyLongArray
+    val out = new Array[Long]((xi1 - xi0 + 1) * (yi1 - yi0 + 1))
+    var k = 0
+    var yi = yi0
+    while (yi <= yi1) {
+      var xi = xi0
+      while (xi <= xi1) { out(k) = yi.toLong * nx + xi; k += 1; xi += 1 }
+      yi += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,124 @@
+package graft.grid
+
+/** Overlapping / non-overlapping tile-grid generation (pure Scala).
+  *
+  * Integer-exact re-creation of the reference tiler semantics
+  * (/root/reference/src/tcd_pipeline/data/tiling.py:47-173):
+  *  - per axis, n = 1 if extent <= tile else 1 + ceil((extent-tile)/(tile-overlap))
+  *  - edges = numpy `linspace(0, extent-tile, n).astype(int)`
+  *    (float64 step, truncation toward zero)
+  *  - overlap forced to 0 when the image fits in one tile on BOTH axes
+  *  - tiles yielded y-major, each exactly tile_size (may over-extend the
+  *    image; readers pad — tiling.py:206-240)
+  * Golden contract: tests/unit/test_tiling.py:15-77 (2048² @1024/256 →
+  * 9 tiles, all 1024²; @1024/0 → 4; @2048/256 → 1; @4096/256 → 1).
+  */
+object Tiler {
+
+  final case class Tile(tileId: Long, minX: Long, minY: Long, maxX: Long, maxY: Long)
+
+  /** numpy linspace(0, stop, n).astype(int): i * (stop/(n-1)) truncated. */
+  def linspaceInt(stop: Long, n: Int): Array[Long] = {
+    if (n == 1) return Array(0L)
+    val step = stop.toDouble / (n - 1)
+    Array.tabulate(n)(i => (i * step).toLong)
+  }
+
+  def nTiles(extent: Long, tileSize: Long, overlap: Long): Int = {
+    if (extent <= tileSize) 1
+    else 1 + math.ceil((extent - tileSize).toDouble / (tileSize - overlap)).toInt
+  }
+
+  /** Overlapping grid with align_edges=True semantics. tileId is the
+    * y-major index (row * nX + col), matching reference yield order. */
+  def overlappingGrid(width: Long, height: Long, tileSize: Long, minOverlap: Long): Array[Tile] = {
+    require(minOverlap <= tileSize, "Overlap must be less than tile size.")
+    val overlap =
+      if (width - tileSize <= 0 && height - tileSize <= 0) 0L else minOverlap
+    val nx = nTiles(width, tileSize, overlap)
+    val ny = nTiles(height, tileSize, overlap)
+    val xs = linspaceInt(width - tileSize, nx)
+    val ys = linspaceInt(height - tileSize, ny)
+    val out = new Array[Tile](nx * ny)
+    var id = 0
+    var yi = 0
+    while (yi < ny) {
+      var xi = 0
+      while (xi < nx) {
+        out(id) = Tile(id.toLong, xs(xi), ys(yi), xs(xi) + tileSize, ys(yi) + tileSize)
+        id += 1
+        xi += 1
+      }
+      yi += 1
+    }
+    out
+  }
+
+  /** Non-overlapping clamped grid (tiling.py:17-44; x-major order like
+    * the reference's `for tx: for ty:` loop). Used for the output /
+    * cache partitioning grid. */
+  def nonOverlappingGrid(width: Long, height: Long, tileSize: Long): Array[Tile] = {
+    val nx = math.ceil(width.toDouble / tileSize).toInt
+    val ny = math.ceil(height.toDouble / tileSize).toInt
+    val out = new Array[Tile](nx * ny)
+    var id = 0
+    var tx = 0
+    while (tx < nx) {
+      var ty = 0
+      while (ty < ny) {
+        val minx = tx.toLong * tileSize
+        val miny = ty.toLong * tileSize
+        out(id) = Tile(id.toLong, minx, miny,
+          math.min(minx + tileSize, width), math.min(miny + tileSize, height))
+        id += 1
+        ty += 1
+      }
+      tx += 1
+    }
+    out
+  }
+
+  /** Closed-form inverse: the ids of overlapping-grid tiles whose box
+    * contains point (x, y). Because edges come from linspace, a point
+    * can belong to at most ceil(tile/stride)² tiles; we compute the
+    * candidate edge-index range arithmetically instead of scanning —
+    * this is what turns the page⨝tile spatial join into pure arithmetic
+    * (no index, codegen-friendly). */
+  def coveringTiles(width: Long, height: Long, tileSize: Long, minOverlap: Long,
+                    x: Double, y: Double): Array[Long] = {
+    val overlap =
+      if (width - tileSize <= 0 && height - tileSize <= 0) 0L else minOverlap
+    val nx = nTiles(width, tileSize, overlap)
+    val ny = nTiles(height, tileSize, overlap)
+    val xs = linspaceInt(width - tileSize, nx)
+    val ys = linspaceInt(height - tileSize, ny)
+    val xIdx = coveringEdges(xs, tileSize, x)
+    val yIdx = coveringEdges(ys, tileSize, y)
+    val out = new Array[Long](xIdx.length * yIdx.length)
+    var k = 0
+    var j = 0
+    while (j < yIdx.length) {
+      var i = 0
+      while (i < xIdx.length) {
+        out(k) = yIdx(j).toLong * nx + xIdx(i)
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Edge indices e with edge <= v < edge + tileSize (binary search over
+    * the sorted edges; edges count is small). Containment is
+    * half-open [min, max) so a point maps to a deterministic tile set. */
+  private def coveringEdges(edges: Array[Long], tileSize: Long, v: Double): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](4)
+    var i = 0
+    while (i < edges.length) {
+      if (v >= edges(i) && v < edges(i) + tileSize) buf += i
+      i += 1
+    }
+    buf.toArray
+  }
+}

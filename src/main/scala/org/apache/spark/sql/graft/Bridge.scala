@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made these `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so the engine — a
+  * Catalyst extension library — exposes them from a `sql` subpackage,
+  * the conventional pattern for Spark-native extensions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

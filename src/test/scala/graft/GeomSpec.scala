@@ -1,0 +1,179 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.geom.{Geom, Raster}
+import graft.geom.Geom.BBox
+
+/** Pure-kernel goldens + properties. Mirrors the reference's geometry
+  * round-trip strategy (tests/unit/util.py:16-76 `random_polygon` =
+  * convex hull of random points; test_cache.py IoU>0.99 round-trips). */
+class GeomSpec extends AnyFunSuite {
+
+  // scalatestplus isn't in the offline cache; sample seeded ScalaCheck
+  // generators directly for deterministic property-style checks.
+  private def forSamples[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val unitSquare = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0)
+
+  test("shoelace area and centroid of a square") {
+    assert(Geom.area(unitSquare) === 100.0)
+    val (cx, cy) = Geom.centroid(unitSquare)
+    assert(math.abs(cx - 5.0) < 1e-12 && math.abs(cy - 5.0) < 1e-12)
+  }
+
+  test("ray-casting point-in-polygon") {
+    assert(Geom.containsPoint(unitSquare, 5.0, 5.0))
+    assert(!Geom.containsPoint(unitSquare, 15.0, 5.0))
+    assert(!Geom.containsPoint(unitSquare, -1.0, 5.0))
+    // concave L-shape
+    val ell = Array(0.0, 0.0, 10.0, 0.0, 10.0, 4.0, 4.0, 4.0, 4.0, 10.0, 0.0, 10.0)
+    assert(Geom.containsPoint(ell, 2.0, 8.0))
+    assert(!Geom.containsPoint(ell, 8.0, 8.0))
+  }
+
+  test("convex hull of points inside a square is the square") {
+    val pts = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 5.0, 5.0, 3.0, 7.0)
+    val hull = Geom.convexHull(pts)
+    assert(hull.length === 8)
+    assert(Geom.area(hull) === 100.0)
+  }
+
+  test("convex clip: overlapping squares") {
+    val a = unitSquare
+    val b = Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0)
+    val inter = Geom.clipConvex(a, Geom.ccw(b))
+    assert(math.abs(Geom.area(inter) - 25.0) < 1e-9)
+    val iou = Geom.iouConvex(a, b)
+    assert(math.abs(iou - 25.0 / 175.0) < 1e-9)
+  }
+
+  test("bbox IoU matches polygon IoU for axis-aligned boxes") {
+    val bA = BBox(0, 0, 10, 10)
+    val bB = BBox(5, 5, 15, 15)
+    assert(math.abs(bA.iou(bB) - 25.0 / 175.0) < 1e-12)
+    assert(bA.iou(BBox(20, 20, 30, 30)) === 0.0)
+  }
+
+  test("intersects: disjoint, overlapping, contained") {
+    val a = unitSquare
+    assert(Geom.intersects(a, Array(5.0, 5.0, 15.0, 5.0, 15.0, 15.0, 5.0, 15.0)))
+    assert(!Geom.intersects(a, Array(20.0, 20.0, 30.0, 20.0, 30.0, 30.0, 20.0, 30.0)))
+    assert(Geom.intersects(a, Array(2.0, 2.0, 3.0, 2.0, 3.0, 3.0, 2.0, 3.0))) // contained
+  }
+
+  test("simplify keeps endpoints and drops collinear points") {
+    val line = Array(0.0, 0.0, 5.0, 0.1, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0)
+    val simp = Geom.simplify(line, 1.0)
+    assert(simp.length < line.length)
+  }
+
+  test("affine round trip") {
+    val (a, b, d, e, xo, yo) = (0.1, 0.0, 0.0, -0.1, 100.0, 200.0)
+    val world = Geom.affine(unitSquare, a, b, d, e, xo, yo)
+    val (ia, ib, id_, ie, ixo, iyo) = Geom.affineInverse(a, b, d, e, xo, yo)
+    val back = Geom.affine(world, ia, ib, id_, ie, ixo, iyo)
+    unitSquare.zip(back).foreach { case (u, v) => assert(math.abs(u - v) < 1e-9) }
+  }
+
+  // --- property tests over random convex polygons (reference util.py style)
+  private val genConvex: Gen[Array[Double]] = for {
+    n <- Gen.choose(3, 10)
+    cx <- Gen.choose(200.0, 1800.0)
+    cy <- Gen.choose(200.0, 1800.0)
+    pts <- Gen.listOfN(2 * n, Gen.choose(-100.0, 100.0))
+  } yield Geom.convexHull(
+    pts.grouped(2).flatMap { case List(dx, dy) => List(cx + dx, cy + dy) }.toArray)
+
+  test("property: IoU(a,a) == 1, symmetric, in [0,1]") {
+    forSamples(Gen.zip(genConvex, genConvex)) { case (a, b) =>
+      if (a.length >= 6 && b.length >= 6) {
+        assert(math.abs(Geom.iouConvex(a, a) - 1.0) < 1e-9)
+        val ab = Geom.iouConvex(a, b)
+        val ba = Geom.iouConvex(b, a)
+        assert(math.abs(ab - ba) < 1e-9)
+        assert(ab >= 0.0 && ab <= 1.0 + 1e-12)
+      }
+    }
+  }
+
+  test("property: centroid inside convex polygon") {
+    forSamples(genConvex) { a =>
+      if (a.length >= 6 && Geom.area(a) > 1.0) {
+        val (cx, cy) = Geom.centroid(a)
+        assert(Geom.containsPoint(a, cx, cy))
+      }
+    }
+  }
+
+  // --- raster kernels
+  test("rasterize square: area matches") {
+    val mask = Raster.rasterize(unitSquare, 12, 12)
+    assert(mask.map(_.toInt).sum === 100)
+  }
+
+  test("RLE round trip (COCO column-major)") {
+    val mask = Raster.rasterize(Array(2.0, 3.0, 9.0, 3.0, 9.0, 8.0, 2.0, 8.0), 10, 12)
+    val counts = Raster.rleEncode(mask, 10, 12)
+    val back = Raster.rleDecode(counts, 10, 12)
+    assert(mask.sameElements(back))
+    assert(counts.sum === 120)
+  }
+
+  test("property: rasterize→RLE→decode round trip on random convex polys") {
+    forSamples(genConvex) { a =>
+      if (a.length >= 6) {
+        val bb = BBox.ofPolygon(a)
+        val local = Geom.translate(a, -bb.minX, -bb.minY)
+        val rows = math.ceil(bb.height).toInt + 1
+        val cols = math.ceil(bb.width).toInt + 1
+        val mask = Raster.rasterize(local, rows, cols)
+        val rt = Raster.rleDecode(Raster.rleEncode(mask, rows, cols), rows, cols)
+        assert(mask.sameElements(rt))
+      }
+    }
+  }
+
+  test("union area: disjoint adds, identical dedups") {
+    val a = unitSquare
+    val b = Geom.translate(unitSquare, 20.0, 0.0)
+    val bb = BBox.ofPolygon(a).union(BBox.ofPolygon(b))
+    assert(math.abs(Raster.unionArea(Seq(a, b), bb) - 200.0) < 1e-9)
+    assert(math.abs(Raster.unionArea(Seq(a, a), BBox.ofPolygon(a)) - 100.0) < 1e-9)
+  }
+
+  test("paste max merge") {
+    val dst = new Array[Byte](25)
+    val src = Array.fill[Byte](4)(3)
+    Raster.paste(dst, 5, 5, src, 2, 2, 1, 1, 1)
+    assert(dst(6) === 3 && dst(7) === 3 && dst(11) === 3 && dst(12) === 3)
+    val src2 = Array.fill[Byte](4)(2)
+    Raster.paste(dst, 5, 5, src2, 2, 2, 1, 1, 1) // max keeps 3
+    assert(dst(6) === 3)
+  }
+
+  test("connected components + vectorize round trip") {
+    // two disjoint squares in one mask
+    val mask = new Array[Byte](100)
+    for (r <- 1 to 3; c <- 1 to 3) mask(r * 10 + c) = 1
+    for (r <- 6 to 8; c <- 6 to 8) mask(r * 10 + c) = 1
+    val labels = Raster.connectedComponents(mask, 10, 10)
+    assert(labels.max === 2)
+    val polys = Raster.vectorize(mask, 10, 10)
+    assert(polys.size === 2)
+    assert(math.abs(Geom.area(polys.head) - 9.0) < 1e-9)
+    // re-rasterizing the traced boundary reproduces the component
+    val rt = Raster.rasterize(polys.head, 10, 10)
+    val expected = mask.zipWithIndex.count { case (v, i) => v == 1 && labels(i) == 1 }
+    assert(rt.map(_.toInt).sum === expected)
+  }
+}
