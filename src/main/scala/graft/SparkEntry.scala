@@ -1,13 +1,238 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{CrownOps, GeoOps}
+import graft.tables.PagesGen
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-data-pipeline operator); `oracleSql` holds the equivalent
+  * DuckDB SQL over the same parquet tables (pages-based queries
+  * regenerate the deterministic pages table inside the SQL via
+  * `PagesGen.duckdbSql`, which is what makes the per-row
+  * "byte-identical text per url" invariant oracle-checkable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** The sf0.01 row count the driver's oracle runs at (TESTDATA.md). */
+  private val OracleRows = 60000L
+
+  /** Pages CTE for oracle SQL (always sf0.01 — the driver's verify sf). */
+  private def pagesCte = s"WITH pages AS (${PagesGen.duckdbSql(OracleRows)})"
+
+  /** Flagship: full geometry pipeline on sf0.001 — pages → geocode →
+    * tile assign → crown synthesis (with edge rejection) → per-region
+    * NMS → dissolve/split merge. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesGen.pages(spark, 6000)
+    val assigned = GeoOps.assignTiles(pages)
+    val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+    val kept = CrownOps.nms(spark, crowns, iouThr = 0.7)
+    import spark.implicits._
+    CrownOps.merge(spark, kept, confThr = 0.3, iouThr = 0.5)
+      .toDF()
+      .select(col("region"), col("classIdx").as("class_idx"), col("score"),
+        col("minX").as("min_x"), col("minY").as("min_y"),
+        col("maxX").as("max_x"), col("maxY").as("max_y"), col("area"),
+        size(col("memberIds")).as("n_members"))
+  }
+
+  /** The 40 deterministic PIP triangles (region-local coords, vertices
+    * at .5 offsets so integer page coords never sit on an edge). */
+  private def triangles(spark: SparkSession): DataFrame = {
+    spark.range(40).toDF("tri_id")
+      .withColumn("cx", (lit(100) + (col("tri_id") * 97) % 1848).cast("double"))
+      .withColumn("cy", (lit(100) + (col("tri_id") * 53) % 1848).cast("double"))
+      .withColumn("poly", array(
+        col("cx"), col("cy") - 40.5,
+        col("cx") - 45.5, col("cy") + 35.5,
+        col("cx") + 50.5, col("cy") + 30.5))
+      .withColumn("poly_min_x", col("cx") - 45.5)
+      .withColumn("poly_max_x", col("cx") + 50.5)
+      .withColumn("poly_min_y", col("cy") - 40.5)
+      .withColumn("poly_max_y", col("cy") + 35.5)
+      .select("tri_id", "poly", "poly_min_x", "poly_max_x", "poly_min_y", "poly_max_y")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational shells (A5-style aggregates, J-equi joins, W windows)
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      val orders = s.read.parquet(t(dir, "orders"))
+      val customer = s.read.parquet(t(dir, "customer"))
+      val nation = s.read.parquet(t(dir, "nation"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    }),
+    "q_window_events" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
+    }),
+
+    // --- pages generator + per-row text invariant (input_hint contract)
+    "pages_invariant" -> ((s, dir) => {
+      PagesGen.pagesFor(s, dir)
+        .select(col("i"), col("url"), col("lang"), col("text"),
+          unix_timestamp(col("warc_ts")).as("warc_epoch"))
+    }),
+
+    // --- geocode + cell index (P-family + CellEncode): per-cell page
+    // counts at level 8 (8-px cells). The Spark side goes through the
+    // Morton cell_encode expression and decodes (ix, iy) back out, so
+    // the oracle cross-checks the codegen'd encode path end-to-end.
+    "geo_cell_agg" -> ((s, dir) => {
+      val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+      val cellsUdf = udf((cell: Long) =>
+        (graft.grid.CellIndex.ix(cell), graft.grid.CellIndex.iy(cell)))
+      pages
+        .withColumn("cell", cell_encode(col("x"), col("y"), 8, 2048.0, 2048.0))
+        .withColumn("ixy", cellsUdf(col("cell")))
+        .groupBy(col("region"), col("ixy._1").as("ix"), col("ixy._2").as("iy"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- tile assignment (T1/T5: the spatial join as arithmetic)
+    "geo_tile_assign" -> ((s, dir) => {
+      GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
+        .select(col("i"), col("region"), col("tile_id"))
+    }),
+
+    // --- point-in-polygon join (J3/J6)
+    "geo_pip" -> ((s, dir) => {
+      val pts = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+        .select(col("i"), col("region"), col("x"), col("y"))
+      GeoOps.pipJoin(pts, triangles(s)).select(col("i"), col("region"), col("tri_id"))
+    }),
+
+    // --- exact kNN baseline (J8/W3)
+    "geo_knn" -> ((s, dir) => {
+      val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+        .filter(col("region") === 0).select(col("i"), col("x"), col("y"))
+      GeoOps.knnExact(pages, pages.filter(col("i") < 100), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // --- training-data ops over documents
+    "dedup_exact" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+    }),
+    "text_stats" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          length(col("text")).cast("long").as("len"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // --- geometry pipeline (rows-only checks: not SQL-expressible)
+    "crowns_synth" -> ((s, dir) => {
+      val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
+      CrownOps.synthesize(s, assigned, GeoOps.TileGrid.Default).toDF()
+        .select(col("region"), col("crownId").as("crown_id"),
+          col("pageId").as("page_id"), col("tileId").as("tile_id"),
+          col("classIdx").as("class_idx"), col("score"),
+          col("minX").as("min_x"), col("minY").as("min_y"),
+          col("maxX").as("max_x"), col("maxY").as("max_y"))
+    }),
+    "crowns_merged" -> ((s, dir) => {
+      val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
+      val crowns = CrownOps.synthesize(s, assigned, GeoOps.TileGrid.Default)
+      val kept = CrownOps.nms(s, crowns, iouThr = 0.7)
+      CrownOps.merge(s, kept, confThr = 0.3, iouThr = 0.5).toDF()
+        .select(col("region"), col("classIdx").as("class_idx"), col("score"),
+          col("minX").as("min_x"), col("minY").as("min_y"),
+          col("maxX").as("max_x"), col("maxY").as("max_y"), col("area"),
+          size(col("memberIds")).as("n_members"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q_window_events" ->
+      """SELECT user_id, rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) WHERE rnk <= 3""".stripMargin,
+    "pages_invariant" ->
+      s"""$pagesCte
+         |SELECT i, url, lang, text, CAST(epoch(warc_ts) AS BIGINT) AS warc_epoch
+         |FROM pages""".stripMargin,
+    "geo_cell_agg" ->
+      s"""$pagesCte
+         |SELECT i // 6000 AS region,
+         |  CAST(floor(x / 8) AS BIGINT) AS ix, CAST(floor(y / 8) AS BIGINT) AS iy,
+         |  count(*) AS cnt
+         |FROM pages GROUP BY 1, 2, 3""".stripMargin,
+    "geo_tile_assign" ->
+      s"""$pagesCte, tiles AS (
+         |  SELECT t AS tile_id, CAST((t % 3) * 512 AS DOUBLE) AS min_x,
+         |         CAST((t // 3) * 512 AS DOUBLE) AS min_y
+         |  FROM (SELECT unnest(generate_series(0, 8)) AS t))
+         |SELECT i, i // 6000 AS region, tile_id
+         |FROM pages JOIN tiles
+         |  ON x >= min_x AND x < min_x + 1024 AND y >= min_y AND y < min_y + 1024""".stripMargin,
+    "geo_pip" ->
+      s"""$pagesCte, tris AS (
+         |  SELECT t AS tri_id,
+         |    CAST(100 + (t * 97) % 1848 AS DOUBLE) AS cx,
+         |    CAST(100 + (t * 53) % 1848 AS DOUBLE) AS cy
+         |  FROM (SELECT unnest(generate_series(0, 39)) AS t))
+         |SELECT i, i // 6000 AS region, tri_id FROM pages JOIN tris ON
+         |  ((cx - 45.5 - cx) * (y - (cy - 40.5)) - ((cy + 35.5) - (cy - 40.5)) * (x - cx) > 0
+         |   AND ((cx + 50.5) - (cx - 45.5)) * (y - (cy + 35.5)) - ((cy + 30.5) - (cy + 35.5)) * (x - (cx - 45.5)) > 0
+         |   AND (cx - (cx + 50.5)) * (y - (cy + 30.5)) - ((cy - 40.5) - (cy + 30.5)) * (x - (cx + 50.5)) > 0)
+         |  OR
+         |  ((cx - 45.5 - cx) * (y - (cy - 40.5)) - ((cy + 35.5) - (cy - 40.5)) * (x - cx) < 0
+         |   AND ((cx + 50.5) - (cx - 45.5)) * (y - (cy + 35.5)) - ((cy + 30.5) - (cy + 35.5)) * (x - (cx - 45.5)) < 0
+         |   AND (cx - (cx + 50.5)) * (y - (cy + 30.5)) - ((cy - 40.5) - (cy + 30.5)) * (x - (cx + 50.5)) < 0)""".stripMargin,
+    "geo_knn" ->
+      s"""$pagesCte, pts AS (SELECT i, x, y FROM pages WHERE i < 6000),
+         |q AS (SELECT i AS query_id, x AS qx, y AS qy FROM pts WHERE i < 100)
+         |SELECT query_id, rnk AS rank, nbr_id, dist2 FROM (
+         |  SELECT query_id, pts.i AS nbr_id,
+         |    (x - qx) * (x - qx) + (y - qy) * (y - qy) AS dist2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (x - qx) * (x - qx) + (y - qy) * (y - qy), pts.i) AS rnk
+         |  FROM pts JOIN q ON pts.i <> query_id)
+         |WHERE rnk <= 5""".stripMargin,
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY 1",
+    "text_stats" ->
+      """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+  )
 }

@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.{Geom, Raster}
+import graft.geom.Geom.BBox
+import graft.grid.TileGridSpec
+
+/** The tiled-inference geometry pipeline, re-expressed Spark-first.
+  *
+  * Reference semantics being re-created (citations into /root/reference):
+  *  - per-tile detection with edge-instance rejection
+  *    (postprocess/instanceprocessor.py:80-115; TREE-only, tolerance 5)
+  *  - cross-tile set union, per-class greedy bbox NMS
+  *    (instanceprocessor.py:344-391, processedinstance.py:523-568)
+  *  - dissolve → per-component split (centroid filter + iterative IoU
+  *    merge) → median score (scripts/merge.py:34-164,
+  *    instanceprocessor.py:200-294)
+  *
+  * Distribution model: the world is a sequence of independent 2048²
+  * REGIONS (one reference "image" each, ~6k pages). All cross-crown
+  * operators (NMS, dissolve, split) are region×class-local, so the
+  * whole merge phase is one `groupByKey(region).flatMapGroups` — no
+  * global shuffle beyond the group-by, and regions scale out linearly
+  * to billions on a real cluster (each group is bounded, ~10⁴ crowns).
+  * Within a group we use an in-memory spatial hash instead of the
+  * reference's rtree, keeping per-group work near-linear.
+  *
+  * IoU in `split` is computed on 1-px rasterized masks once geometries
+  * are merged multipolygons (the reference's polygons originate from
+  * pixel masks, so rasterized semantics is the faithful one); the
+  * single-convex-pair fast path uses exact clipping.
+  */
+object CrownOps {
+
+  val EdgeTolerance = 5.0 // instanceprocessor.py:103 edge_tolerance
+  val ClassCanopy = 0 // util.py:128-135 Vegetation enum
+  val ClassTree = 1
+
+  /** splitmix64 — deterministic per-page hash seed. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic "model": synthesize a convex crown polygon from the
+    * page hash, centered at the page's geocode. Identical for every
+    * tile that sees the page (replaces Model.predict_batch,
+    * models/model.py:250-252, with an oracle-checkable function). */
+  def synthPoly(h: Long, x: Double, y: Double): Array[Double] = {
+    val nv = 3 + (Math.floorMod(h, 5L)).toInt // 3..7 vertices
+    val r = 8.0 + Math.floorMod(h >>> 8, 24L) // radius 8..31
+    val phase = Math.floorMod(h >>> 16, 360L) * math.Pi / 180.0
+    val pts = new Array[Double](2 * nv)
+    var k = 0
+    while (k < nv) {
+      val frac = Math.floorMod(h >>> (4 * k + 3), 16L) / 15.0
+      val rk = r * (0.75 + 0.25 * frac)
+      val a = phase + 2 * math.Pi * k / nv
+      pts(2 * k) = x + rk * math.cos(a)
+      pts(2 * k + 1) = y + rk * math.sin(a)
+      k += 1
+    }
+    Geom.convexHull(pts) // hull guarantees convexity for any jitter
+  }
+
+  def synthScore(h: Long): Double =
+    0.05 + 0.9 * (Math.floorMod(h >>> 24, 100000L) / 100000.0)
+
+  def synthClass(h: Long): Int = Math.floorMod(h >>> 40, 2L).toInt
+
+  /** One detected crown (pre-merge). Flat encoder-friendly schema. */
+  final case class Crown(
+      region: Long, crownId: Long, pageId: Long, tileId: Long, classIdx: Int,
+      score: Double, minX: Double, minY: Double, maxX: Double, maxY: Double,
+      poly: Array[Double])
+
+  /** Merged crown (post pipeline): multipolygon parts + score list. */
+  final case class MergedCrown(
+      region: Long, classIdx: Int, memberIds: Array[Long], score: Double,
+      scores: Array[Double], minX: Double, minY: Double, maxX: Double,
+      maxY: Double, area: Double, parts: Array[Array[Double]])
+
+  /** Per-(page, tile) crown synthesis + tile-edge rejection. The edge
+    * filter mirrors instanceprocessor.py:100-109: TREE instances whose
+    * tile-local bbox comes within `EdgeTolerance` px of the tile window
+    * are dropped (on square tiles the reference's x/y index swap at
+    * :107-109 is a no-op, which is why square tiles are used here).
+    * Score gets a tiny per-tile epsilon so cross-tile duplicates are
+    * distinct, deterministic, and NMS-orderable (the reference's
+    * per-tile model outputs differ slightly the same way). */
+  def synthesize(spark: SparkSession, assignments: DataFrame,
+                 spec: TileGridSpec): Dataset[Crown] = {
+    import spark.implicits._
+    val tileSize = spec.tileSize.toDouble
+    assignments
+      .select(col("region").cast("long"), col("i").cast("long").as("pageId"),
+        col("tile_id").cast("long").as("tileId"),
+        col("x").cast("double"), col("y").cast("double"),
+        col("tile_min_x").cast("double"), col("tile_min_y").cast("double"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (region, pageId, tileId, x, y, tMinX, tMinY) =>
+          val h = mix64(pageId)
+          val poly = synthPoly(h, x, y)
+          val bb = BBox.ofPolygon(poly)
+          val classIdx = synthClass(h)
+          // tile-local bbox for the edge filter
+          val lx0 = bb.minX - tMinX; val ly0 = bb.minY - tMinY
+          val lx1 = bb.maxX - tMinX; val ly1 = bb.maxY - tMinY
+          val edgeReject = classIdx == ClassTree && (
+            lx0 < EdgeTolerance || ly0 < EdgeTolerance ||
+            lx1 > tileSize - EdgeTolerance || ly1 > tileSize - EdgeTolerance)
+          if (edgeReject) Iterator.empty
+          else Iterator.single(Crown(region, pageId * 16 + tileId, pageId, tileId,
+            classIdx, synthScore(h) + tileId * 1e-7,
+            bb.minX, bb.minY, bb.maxX, bb.maxY, poly))
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Region-local exact pipeline (runs inside flatMapGroups; also the
+  // single-node golden implementation for tests).
+  // ---------------------------------------------------------------------
+
+  /** In-memory instance during group-local processing. */
+  final case class Inst(ids: List[Long], classIdx: Int, scores: List[Double],
+                        parts: List[Array[Double]]) {
+    lazy val bbox: BBox = parts.map(BBox.ofPolygon(_)).reduce(_ union _)
+    def merge(o: Inst): Inst =
+      Inst(ids ++ o.ids, classIdx, scores ++ o.scores, parts ++ o.parts)
+  }
+
+  def instOf(c: Crown): Inst = Inst(List(c.crownId), c.classIdx, List(c.score), List(c.poly))
+
+  private def instIntersects(a: Inst, b: Inst): Boolean =
+    a.bbox.intersects(b.bbox) &&
+      a.parts.exists(pa => b.parts.exists(pb => Geom.intersects(pa, pb)))
+
+  /** IoU between possibly-merged instances: exact convex clip for the
+    * single-part pair; 1-px rasterized mask IoU otherwise (pixel
+    * semantics — the reference's source geometry is masks). */
+  def instIoU(a: Inst, b: Inst): Double = {
+    if (!a.bbox.intersects(b.bbox)) return 0.0
+    if (a.parts.size == 1 && b.parts.size == 1)
+      return Geom.iouConvex(a.parts.head, b.parts.head)
+    val bb = a.bbox.union(b.bbox)
+    val cols = math.max(1, math.ceil(bb.maxX - bb.minX).toInt)
+    val rows = math.max(1, math.ceil(bb.maxY - bb.minY).toInt)
+    val ma = new Array[Byte](rows * cols)
+    val mb = new Array[Byte](rows * cols)
+    a.parts.foreach(p => Raster.rasterize(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, ma))
+    b.parts.foreach(p => Raster.rasterize(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, mb))
+    var inter = 0L; var union = 0L
+    var i = 0
+    while (i < ma.length) {
+      if (ma(i) != 0 && mb(i) != 0) inter += 1
+      if (ma(i) != 0 || mb(i) != 0) union += 1
+      i += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Greedy bbox NMS, torchvision contract (processedinstance.py:523-568):
+    * consider score-descending (ties → lower crownId), suppress when
+    * bbox IoU with an already-kept box exceeds `iouThr` (strict >). A
+    * spatial hash over kept boxes keeps it near-linear. Returns kept
+    * crowns in input order (indices like the reference). */
+  def nmsLocal(crowns: IndexedSeq[Crown], iouThr: Double): IndexedSeq[Crown] = {
+    if (crowns.isEmpty) return crowns
+    val order = crowns.indices.sortBy(i => (-crowns(i).score, crowns(i).crownId))
+    val cellSize = 64.0
+    val keptByCell = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    def cellsOf(c: Crown): Iterator[Long] = {
+      val cx0 = math.floor(c.minX / cellSize).toLong
+      val cx1 = math.floor(c.maxX / cellSize).toLong
+      val cy0 = math.floor(c.minY / cellSize).toLong
+      val cy1 = math.floor(c.maxY / cellSize).toLong
+      for (cy <- (cy0 to cy1).iterator; cx <- cx0 to cx1) yield cy * 1000003L + cx
+    }
+    val kept = new scala.collection.mutable.BitSet(crowns.size)
+    order.foreach { i =>
+      val c = crowns(i)
+      val bb = BBox(c.minX, c.minY, c.maxX, c.maxY)
+      var suppressed = false
+      val it = cellsOf(c)
+      while (!suppressed && it.hasNext) {
+        val lst = keptByCell.get(it.next())
+        if (lst != null) {
+          var j = 0
+          while (!suppressed && j < lst.size()) {
+            val k = crowns(lst.get(j))
+            if (bb.iou(BBox(k.minX, k.minY, k.maxX, k.maxY)) > iouThr) suppressed = true
+            j += 1
+          }
+        }
+      }
+      if (!suppressed) {
+        kept += i
+        cellsOf(c).foreach { cell =>
+          var lst = keptByCell.get(cell)
+          if (lst == null) { lst = new java.util.ArrayList[Int](); keptByCell.put(cell, lst) }
+          lst.add(i)
+        }
+      }
+    }
+    crowns.indices.filter(kept).map(crowns)
+  }
+
+  /** Connected components of the polygon-intersects graph = the
+    * dissolve grouping (merge.py:85-122: unary_union components ↔
+    * transitive closure of `intersects`). Spatial-hash candidate
+    * pruning replaces the rtree. */
+  def dissolveLocal(insts: IndexedSeq[Inst]): Iterator[IndexedSeq[Inst]] = {
+    val n = insts.size
+    if (n == 0) return Iterator.empty
+    val uf = new Geom.UnionFind(n)
+    val cellSize = 64.0
+    val byCell = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    insts.indices.foreach { i =>
+      val bb = insts(i).bbox
+      val cx0 = math.floor(bb.minX / cellSize).toLong
+      val cx1 = math.floor(bb.maxX / cellSize).toLong
+      val cy0 = math.floor(bb.minY / cellSize).toLong
+      val cy1 = math.floor(bb.maxY / cellSize).toLong
+      for (cy <- cy0 to cy1; cx <- cx0 to cx1) {
+        val key = cy * 1000003L + cx
+        var lst = byCell.get(key)
+        if (lst == null) { lst = new java.util.ArrayList[Int](); byCell.put(key, lst) }
+        // union with intersecting prior members of this bucket
+        var j = 0
+        while (j < lst.size()) {
+          val o = lst.get(j)
+          if (uf.find(o) != uf.find(i) && instIntersects(insts(o), insts(i))) uf.union(o, i)
+          j += 1
+        }
+        lst.add(i)
+      }
+    }
+    val groups = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Inst]]()
+    insts.indices.foreach { i =>
+      val root = uf.find(i)
+      var g = groups.get(root)
+      if (g == null) { g = new scala.collection.mutable.ArrayBuffer[Inst](); groups.put(root, g) }
+      g += insts(i)
+    }
+    import scala.jdk.CollectionConverters._
+    groups.values().asScala.iterator.map(_.toIndexedSeq)
+  }
+
+  /** Centroid filter (merge.py:167-192 / instanceprocessor.py:203-238):
+    * drop instances containing more than `maxOverlaps` other instances'
+    * centroids. Instances here are raw (single-part). */
+  def filterCentroids(group: IndexedSeq[Inst], maxOverlaps: Int = 1): IndexedSeq[Inst] = {
+    val cents = group.map(g => Geom.centroid(g.parts.head))
+    val counts = new Array[Int](group.size)
+    var ai = 0
+    while (ai < group.size) {
+      var bi = 0
+      while (bi < group.size) {
+        if (ai != bi &&
+            group(bi).bbox.contains(cents(ai)._1, cents(ai)._2) &&
+            Geom.containsPoint(group(bi).parts.head, cents(ai)._1, cents(ai)._2))
+          counts(bi) += 1
+        bi += 1
+      }
+      ai += 1
+    }
+    group.indices.filter(counts(_) <= maxOverlaps).map(group)
+  }
+
+  /** Iterative pop-merge (merge.py:34-82): pop the LAST instance; if it
+    * overlaps any remaining instance with IoU >= thr, merge with the
+    * FIRST such partner and push the union back; else emit. Members are
+    * pre-sorted by crownId so the list semantics are deterministic. */
+  def splitLocal(group0: IndexedSeq[Inst], iouThr: Double): List[Inst] = {
+    val work = scala.collection.mutable.ArrayBuffer.from(
+      filterCentroids(group0.sortBy(_.ids.min)))
+    val merged = scala.collection.mutable.ListBuffer.empty[Inst]
+    while (work.nonEmpty) {
+      val a = work.remove(work.size - 1)
+      var partner = -1
+      var idx = 0
+      while (partner < 0 && idx < work.size) {
+        if (instIoU(a, work(idx)) >= iouThr) partner = idx
+        idx += 1
+      }
+      if (partner < 0) merged += a
+      else {
+        val b = work.remove(partner)
+        work += a.merge(b)
+      }
+    }
+    merged.toList
+  }
+
+  /** Median with numpy semantics (mean of middle two for even n). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Full region-local merge for one class (merge.py:125-164): filter by
+    * confidence (strict >), dissolve, pass singletons through, split
+    * multi-groups, median-collapse scores. */
+  def mergeLocal(crowns: IndexedSeq[Crown], classIdx: Int,
+                 confThr: Double, iouThr: Double): List[Inst] = {
+    val insts = crowns.iterator
+      .filter(c => c.classIdx == classIdx && c.score > confThr)
+      .map(instOf).toIndexedSeq
+    dissolveLocal(insts).flatMap { group =>
+      if (group.size == 1) group
+      else splitLocal(group, iouThr)
+    }.toList
+  }
+
+  // ---------------------------------------------------------------------
+  // Distributed wrappers
+  // ---------------------------------------------------------------------
+
+  /** Distributed per-class NMS: regions are independent (each is one
+    * reference image), so grouping by region gives EXACT global-NMS
+    * semantics per image with one shuffle. */
+  def nms(spark: SparkSession, crowns: Dataset[Crown], iouThr: Double): Dataset[Crown] = {
+    import spark.implicits._
+    crowns.groupByKey(c => (c.region, c.classIdx))
+      .flatMapGroups((_: (Long, Int), it: Iterator[Crown]) =>
+        nmsLocal(it.toIndexedSeq, iouThr).iterator)
+  }
+
+  /** Distributed merge: NMS → dissolve → split → median, per region and
+    * class, one shuffle total. */
+  def merge(spark: SparkSession, crowns: Dataset[Crown],
+            confThr: Double, iouThr: Double): Dataset[MergedCrown] = {
+    import spark.implicits._
+    crowns.groupByKey(c => (c.region, c.classIdx))
+      .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
+        val (region, classIdx) = key
+        mergeLocal(it.toIndexedSeq, classIdx, confThr, iouThr).iterator.map { inst =>
+          val bb = inst.bbox
+          val area =
+            if (inst.parts.size == 1) Geom.area(inst.parts.head)
+            else Raster.unionArea(inst.parts, bb)
+          MergedCrown(region, classIdx, inst.ids.sorted.toArray,
+            median(inst.scores), inst.scores.toArray,
+            bb.minX, bb.minY, bb.maxX, bb.maxY, area,
+            inst.parts.toArray)
+        }
+      })
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.grid.{CellIndex, TileGridSpec}
+
+/** Geocode / tile-assignment / spatial-join / kNN operators over the
+  * pages (or any point-bearing) table. All joins are cell-discretized
+  * equi-joins + residual exact predicates (SURVEY.md §2.4) so Catalyst
+  * plans them as hash/sort-merge joins with pushdown intact — no custom
+  * strategy, no index structure.
+  */
+object GeoOps {
+
+  /** Pages per region: each region is one reference-image extent
+    * (2048²) holding ~6k pages — the unit of merge-phase independence
+    * and of linear scale-out (SURVEY.md §3.1 Spark lifecycle). */
+  val PagesPerRegion = 6000L
+
+  def withRegion(pages: DataFrame): DataFrame =
+    pages.withColumn("region", col("i").divide(PagesPerRegion).cast("long"))
+
+  /** Cell id column at `level` over the region-local extent. */
+  def withCell(df: DataFrame, level: Int = 8): Column =
+    cell_encode(col("x"), col("y"), level, TileGrid.ExtentX, TileGrid.ExtentY)
+
+  object TileGrid {
+    val ExtentX = 2048.0
+    val ExtentY = 2048.0
+    /** The reference 9-tile golden grid (tests/unit/test_tiling.py:67-69). */
+    val Default: TileGridSpec = TileGridSpec(2048, 2048, 1024, 256)
+  }
+
+  /** page ⨝ tile assignment: per-row closed-form covering-tile ids
+    * (no join node at all — the grid is arithmetic, the "spatial join
+    * becomes a generator" trick), plus tile bounds via literal edge
+    * lookup. Output grain: one row per (page, covering tile). */
+  def assignTiles(pages: DataFrame, spec: TileGridSpec = TileGrid.Default): DataFrame = {
+    val xEdges = typedlit(spec.xEdges)
+    val yEdges = typedlit(spec.yEdges)
+    withRegion(pages)
+      .withColumn("tile_id", explode(covering_tiles(col("x"), col("y"), spec)))
+      .withColumn("tile_min_x",
+        element_at(xEdges, (col("tile_id") % spec.nx).cast("int") + 1).cast("double"))
+      .withColumn("tile_min_y",
+        element_at(yEdges, (col("tile_id") / spec.nx).cast("int") + 1).cast("double"))
+  }
+
+  /** Point-in-polygon join: points (x, y) against a polygon relation
+    * (poly_id, poly ARRAY<DOUBLE>, bbox columns). Small polygon sides
+    * are broadcast (the reference's rtree-over-small-side pattern,
+    * instanceprocessor.py:178-199); the bbox range predicate prunes
+    * before the exact ray-cast residual. */
+  def pipJoin(points: DataFrame, polys: DataFrame): DataFrame = {
+    points.join(broadcast(polys),
+      col("x") >= col("poly_min_x") && col("x") <= col("poly_max_x") &&
+      col("y") >= col("poly_min_y") && col("y") <= col("poly_max_y") &&
+      st_contains_point(col("poly"), col("x"), col("y")))
+  }
+
+  /** Exact brute-force kNN for a small query set (broadcast) — the
+    * correctness baseline; oracle-checkable in SQL. Squared euclidean
+    * distance, ties broken by neighbor id. */
+  def knnExact(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = points.select(col("i").as("nbr_id"), col("x").as("nx"), col("y").as("ny"))
+    val q = queries.select(col("i").as("query_id"), col("x").as("qx"), col("y").as("qy"))
+    val d2 = (col("nx") - col("qx")) * (col("nx") - col("qx")) +
+             (col("ny") - col("qy")) * (col("ny") - col("qy"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("nbr_id"))
+    cand.join(broadcast(q), col("nbr_id") =!= col("query_id"))
+      .withColumn("dist2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
+  }
+
+  /** Scalable grid kNN (SURVEY.md J8/W3): candidates = neighbor-cell
+    * ring at `level` (self equi-join on cell id), then per-query top-k
+    * window. Exact whenever the true kth neighbor lies within the ring
+    * radius (ring r=1 at level L covers ≥ one cell width —
+    * 2048/2^L px); callers choose level so that k-distance ≪ cell size.
+    * This is the 100-TB path: shuffle is one equi-join on a bigint. */
+  def knnGrid(points: DataFrame, k: Int, level: Int = 5): DataFrame = {
+    val spark = points.sparkSession
+    val cellOf = cell_encode(col("x"), col("y"), level, TileGrid.ExtentX, TileGrid.ExtentY)
+    val pts = points.select(col("i"), col("x"), col("y")).withColumn("cell", cellOf)
+    // candidate cells for each query = 3x3 ring around its own cell
+    val ringUdf = udf((cell: Long) => CellIndex.neighborhood(cell, 1))
+    val q = pts.select(col("i").as("query_id"), col("x").as("qx"), col("y").as("qy"),
+      explode(ringUdf(col("cell"))).as("cell"))
+    val cand = pts.select(col("cell"), col("i").as("nbr_id"),
+      col("x").as("nx"), col("y").as("ny"))
+    val d2 = (col("nx") - col("qx")) * (col("nx") - col("qx")) +
+             (col("ny") - col("qy")) * (col("ny") - col("qy"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("nbr_id"))
+    q.join(cand, Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("dist2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
+  }
+}
