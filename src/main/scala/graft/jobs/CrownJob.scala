@@ -1,0 +1,93 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CrownOps, GeoOps}
+import graft.tables.{IcebergLite, PagesGen}
+
+/** The spark-submit pipeline driver: pages → geocode/tile-assign →
+  * crown synthesis → NMS → dissolve/merge, with every stage committed
+  * as an IcebergLite snapshot (per-region lineage + metrics) and
+  * resumable from the last good snapshot — the Spark rebuild of the
+  * reference lifecycle (/root/reference docs/cache.md:3-23,
+  * src/tcd_pipeline/models/model.py:110-216).
+  *
+  * Resume granularity = region (one reference image). `run` anti-joins
+  * pending regions against committed lineage keys, so a re-run after a
+  * crash processes exactly the missing regions and appends one more
+  * snapshot — the warm-start semantics of model.py:180-185, with
+  * exactly-once per region guaranteed by the atomic manifest swap.
+  */
+object CrownJob {
+
+  final case class Conf(nPages: Long, warehouse: String,
+                        nmsIou: Double = 0.7, confThr: Double = 0.3,
+                        mergeIou: Double = 0.5,
+                        failAfterRegions: Int = -1)
+
+  val StageCrowns = "crowns"
+  val StageMerged = "merged"
+
+  /** Synthesis stage: pending regions only. `failAfterRegions` (tests)
+    * truncates the processed set to simulate a crash after k regions. */
+  def runSynth(spark: SparkSession, conf: Conf): Long = {
+    val pages = GeoOps.withRegion(PagesGen.pages(spark, conf.nPages))
+    val pending = IcebergLite.committedKeys(spark, conf.warehouse, StageCrowns) match {
+      case Some(done) => pages.join(done.withColumnRenamed("unitKey", "region"),
+        Seq("region"), "left_anti")
+      case None => pages
+    }
+    val limited =
+      if (conf.failAfterRegions >= 0) {
+        val keep = pending.select("region").distinct()
+          .orderBy("region").limit(conf.failAfterRegions)
+        pending.join(broadcast(keep), Seq("region"))
+      } else pending
+    if (limited.isEmpty) return -1L
+    val assigned = GeoOps.assignTiles(limited)
+    val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default).toDF()
+    IcebergLite.commit(spark, conf.warehouse, StageCrowns, crowns, "region")
+  }
+
+  /** Merge stage over all committed crowns (regions not yet merged). */
+  def runMerge(spark: SparkSession, conf: Conf): Long = {
+    import spark.implicits._
+    val crowns = IcebergLite.read(spark, conf.warehouse, StageCrowns)
+      .getOrElse(return -1L)
+    val pending = IcebergLite.committedKeys(spark, conf.warehouse, StageMerged) match {
+      case Some(done) => crowns.join(done.withColumnRenamed("unitKey", "region"),
+        Seq("region"), "left_anti")
+      case None => crowns
+    }
+    if (pending.isEmpty) return -1L
+    val ds = pending.as[CrownOps.Crown]
+    val kept = CrownOps.nms(spark, ds, conf.nmsIou)
+    val merged = CrownOps.merge(spark, kept, conf.confThr, conf.mergeIou).toDF()
+    IcebergLite.commit(spark, conf.warehouse, StageMerged, merged, "region")
+  }
+
+  def run(spark: SparkSession, conf: Conf): Unit = {
+    runSynth(spark, conf)
+    runMerge(spark, conf)
+  }
+
+  def mergedResult(spark: SparkSession, warehouse: String): Option[DataFrame] =
+    IcebergLite.read(spark, warehouse, StageMerged)
+
+  def main(args: Array[String]): Unit = {
+    val nPages = args.headOption.map(_.toLong).getOrElse(6000L)
+    val warehouse = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, Conf(nPages, warehouse))
+    println(s"merged rows: ${mergedResult(spark, warehouse).map(_.count()).getOrElse(0L)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,118 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Iceberg-style table layer over Parquet, implemented in-repo
+  * (no Iceberg jar in this environment — SURVEY.md header): immutable
+  * snapshot data files + a JSON manifest swapped by atomic rename.
+  * Re-creates the reference's resumable JSONL cache manifest
+  * (/root/reference/src/tcd_pipeline/cache/cache.py:46-91,
+  * docs/cache.md:21-47) with table semantics:
+  *
+  *  - `commit` appends a snapshot (set of parquet files written by one
+  *    stage run) plus per-partition lineage metrics rows;
+  *  - `read` unions all live snapshots of a stage (append model — the
+  *    reference caches are append-only too);
+  *  - readers never see a half-written snapshot: data lands under
+  *    `data/<stage>/snap-<id>/`, and only the manifest rename makes it
+  *    visible — a crash mid-write leaves the previous manifest intact
+  *    (mirrors Spark's task-commit + the reference's "cache survives
+  *    process death", scripts/predict.py:36-38);
+  *  - `committedKeys` powers resume: the driver anti-joins pending work
+  *    units against keys recorded in lineage
+  *    (replaces models/model.py:148-185 warm-start skip).
+  *
+  * Layout:
+  * {{{
+  * root/
+  *   manifest.json                    # {"snapshots":[...]} atomic swap
+  *   data/<stage>/snap-<id>/ *.parquet
+  *   lineage/<stage>/snap-<id>/ *.parquet
+  * }}}
+  */
+object IcebergLite {
+
+  final case class Snapshot(id: Long, stage: String, rowCount: Long, wallMs: Long)
+
+  /** Lineage grain: one row per (work unit, spark partition). */
+  final case class LineageRow(stage: String, snapshotId: Long, unitKey: Long,
+                              partitionId: Int, rowCount: Long, bytes: Long,
+                              wallMs: Long)
+
+  private def manifestPath(root: String): Path = Paths.get(root, "manifest.json")
+
+  // tiny hand-rolled JSON (flat schema, no deps)
+  private def renderManifest(snaps: Seq[Snapshot]): String =
+    snaps.map(s =>
+      s"""{"id":${s.id},"stage":"${s.stage}","rowCount":${s.rowCount},"wallMs":${s.wallMs}}""")
+      .mkString("{\"snapshots\":[", ",", "]}")
+
+  def snapshots(root: String): Seq[Snapshot] = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) return Seq.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val re = """\{"id":(\d+),"stage":"([^"]*)","rowCount":(\d+),"wallMs":(\d+)\}""".r
+    re.findAllMatchIn(txt).map(m =>
+      Snapshot(m.group(1).toLong, m.group(2), m.group(3).toLong, m.group(4).toLong)).toSeq
+  }
+
+  private def writeManifest(root: String, snaps: Seq[Snapshot]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".manifest.tmp")
+    Files.write(tmp, renderManifest(snaps).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write `df` as a new snapshot of `stage`, recording per-(unitKey,
+    * partition) lineage metrics. `unitKeyCol` is the resume granularity
+    * (e.g. region id, tile id). Returns the snapshot id. */
+  def commit(spark: SparkSession, root: String, stage: String, df: DataFrame,
+             unitKeyCol: String): Long = {
+    val t0 = System.nanoTime()
+    val prev = snapshots(root)
+    val snapId = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val dataDir = s"$root/data/$stage/snap-$snapId"
+    df.write.mode("overwrite").parquet(dataDir)
+
+    // lineage/metrics from the written files (re-scan is metadata-cheap
+    // and sees exactly what a reader will see)
+    val written = spark.read.parquet(dataDir)
+    import spark.implicits._
+    val lineage = written
+      .groupBy(col(unitKeyCol).cast("long").as("unitKey"), spark_partition_id().as("partitionId"))
+      .agg(count(lit(1)).as("rowCount"))
+      .select(lit(stage).as("stage"), lit(snapId).as("snapshotId"), col("unitKey"),
+        col("partitionId"), col("rowCount"), lit(0L).as("bytes"),
+        lit((System.nanoTime() - t0) / 1000000).as("wallMs"))
+    lineage.write.mode("overwrite").parquet(s"$root/lineage/$stage/snap-$snapId")
+
+    val rowCount = written.count()
+    writeManifest(root, prev :+ Snapshot(snapId, stage,
+      rowCount, (System.nanoTime() - t0) / 1000000))
+    snapId
+  }
+
+  /** All live data of a stage (union of its committed snapshots). */
+  def read(spark: SparkSession, root: String, stage: String): Option[DataFrame] = {
+    val snaps = snapshots(root).filter(_.stage == stage)
+    if (snaps.isEmpty) None
+    else Some(spark.read.parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*))
+  }
+
+  /** Lineage rows of a stage across snapshots. */
+  def lineage(spark: SparkSession, root: String, stage: String): Option[DataFrame] = {
+    val snaps = snapshots(root).filter(_.stage == stage)
+    if (snaps.isEmpty) None
+    else Some(spark.read.parquet(snaps.map(s => s"$root/lineage/$stage/snap-${s.id}"): _*))
+  }
+
+  /** Distinct committed work-unit keys of a stage — the resume anti-join
+    * side. */
+  def committedKeys(spark: SparkSession, root: String, stage: String): Option[DataFrame] =
+    lineage(spark, root, stage).map(_.select(col("unitKey")).distinct())
+}

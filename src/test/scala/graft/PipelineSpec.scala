@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CrownOps, GeoOps}
+import graft.tables.{IcebergLite, PagesGen}
+import graft.jobs.CrownJob
+
+/** End-to-end pipeline semantics: the distributed operators must equal
+  * the region-local golden implementation exactly (the reference is a
+  * single-node engine, so single-node semantics IS the contract), and
+  * the IcebergLite warm-start must be exactly-once per region (mirrors
+  * tests/unit/test_instance_segmentation.py:37-48 cache re-run test). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def crownsFor(nPages: Long) = {
+    val pages = PagesGen.pages(spark, nPages)
+    val assigned = GeoOps.assignTiles(pages)
+    CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+  }
+
+  test("pages generator: deterministic, text derivable from url position") {
+    val a = PagesGen.pages(spark, 500).select("i", "url", "text", "lang").collect()
+    val b = PagesGen.pages(spark, 500).select("i", "url", "text", "lang").collect()
+    assert(a.map(_.toString()).sorted.sameElements(b.map(_.toString()).sorted))
+    val r = a.find(_.getLong(0) == 41L).get
+    assert(r.getString(1) == "https://host-0041.example/page-00000041")
+    assert(r.getString(2).startsWith(s"url=${r.getString(1)} lang=${r.getString(3)} body="))
+  }
+
+  test("distributed NMS+merge equals the single-node golden pipeline") {
+    val crowns = crownsFor(3000).collect().toIndexedSeq // one region
+    val ds = spark.createDataset(crowns)
+    val distributed = CrownOps.merge(spark,
+      CrownOps.nms(spark, ds, 0.7), confThr = 0.3, iouThr = 0.5)
+      .collect()
+
+    // golden: same ops run purely locally
+    val golden = Seq(CrownOps.ClassCanopy, CrownOps.ClassTree).flatMap { cls =>
+      val clsCrowns = crowns.filter(_.classIdx == cls)
+      val kept = CrownOps.nmsLocal(clsCrowns, 0.7)
+      CrownOps.mergeLocal(kept, cls, 0.3, 0.5).map(inst => (cls, inst))
+    }
+
+    assert(distributed.length === golden.length)
+    val dKeys = distributed.map(m => (m.classIdx, m.memberIds.toList, m.score,
+      m.minX, m.minY, m.maxX, m.maxY)).toSet
+    val gKeys = golden.map { case (cls, inst) => (cls, inst.ids.sorted,
+      CrownOps.median(inst.scores), inst.bbox.minX, inst.bbox.minY,
+      inst.bbox.maxX, inst.bbox.maxY) }.toSet
+    assert(dKeys === gKeys)
+  }
+
+  test("NMS drops cross-tile duplicates: no page survives twice per class") {
+    val kept = CrownOps.nms(spark, crownsFor(2000), 0.7).collect()
+    val dupes = kept.groupBy(c => (c.pageId, c.classIdx)).filter(_._2.length > 1)
+    assert(dupes.isEmpty)
+    // when any duplicate of a page survives, it is the max-epsilon one
+    // (a whole group can also be suppressed by a higher-scoring
+    // overlapping crown of another page — same as the reference)
+    val multi = crownsFor(2000).collect().groupBy(c => (c.pageId, c.classIdx))
+      .filter(_._2.length > 1)
+    val keptIds = kept.map(_.crownId).toSet
+    multi.foreach { case (_, group) =>
+      val survivors = group.filter(c => keptIds.contains(c.crownId))
+      if (survivors.nonEmpty)
+        assert(survivors.head.crownId === group.maxBy(_.score).crownId)
+    }
+    // and most duplicate groups do keep exactly one survivor
+    val survivedGroups = multi.count(_._2.exists(c => keptIds.contains(c.crownId)))
+    assert(survivedGroups > multi.size / 2)
+  }
+
+  test("merge: member scores collapse to numpy median") {
+    assert(CrownOps.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(CrownOps.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+  }
+
+  test("IcebergLite: commit/read/lineage round trip, atomic manifest") {
+    val root = java.nio.file.Files.createTempDirectory("iceb").toString
+    val df = spark.range(100).toDF("id").withColumn("region", col("id") % 4)
+    val snap = IcebergLite.commit(spark, root, "s1", df, "region")
+    assert(snap === 1L)
+    assert(IcebergLite.read(spark, root, "s1").get.count() === 100)
+    val lin = IcebergLite.lineage(spark, root, "s1").get
+    assert(lin.agg(sum("rowCount")).head().getLong(0) === 100)
+    assert(IcebergLite.committedKeys(spark, root, "s1").get.count() === 4)
+    // second commit appends
+    IcebergLite.commit(spark, root, "s1", df.filter(col("id") < 10), "region")
+    assert(IcebergLite.read(spark, root, "s1").get.count() === 110)
+    assert(IcebergLite.snapshots(root).map(_.id) === Seq(1L, 2L))
+  }
+
+  test("resume: crash after k regions, re-run, exactly-once per region") {
+    val whole = java.nio.file.Files.createTempDirectory("wh_full").toString
+    val partial = java.nio.file.Files.createTempDirectory("wh_part").toString
+    val n = 4 * GeoOps.PagesPerRegion // 4 regions
+
+    // clean run
+    CrownJob.run(spark, CrownJob.Conf(n, whole))
+    val full = CrownJob.mergedResult(spark, whole).get.collect()
+
+    // crashed run: synth commits only 2 regions, then "dies"
+    CrownJob.runSynth(spark, CrownJob.Conf(n, partial, failAfterRegions = 2))
+    val afterCrash = IcebergLite.committedKeys(spark, partial, CrownJob.StageCrowns)
+      .get.count()
+    assert(afterCrash === 2)
+
+    // warm restart completes the remaining regions + merge
+    CrownJob.run(spark, CrownJob.Conf(n, partial))
+    val lin = IcebergLite.lineage(spark, partial, CrownJob.StageCrowns).get
+    // exactly-once: each region committed in exactly one snapshot
+    val perRegion = lin.groupBy("unitKey").agg(countDistinct("snapshotId").as("n"))
+      .filter(col("n") > 1).count()
+    assert(perRegion === 0)
+    assert(IcebergLite.committedKeys(spark, partial, CrownJob.StageCrowns).get.count() === 4)
+
+    // and the resumed output equals the clean run
+    val resumed = CrownJob.mergedResult(spark, partial).get.collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getAs[Seq[Long]]("memberIds").sorted.mkString(","),
+        r.getDouble(r.fieldIndex("score")))
+    assert(resumed.map(key).toSet === full.map(key).toSet)
+
+    // idempotence: another run is a no-op (no new snapshots of work)
+    val snapsBefore = IcebergLite.snapshots(partial).size
+    CrownJob.run(spark, CrownJob.Conf(n, partial))
+    assert(IcebergLite.snapshots(partial).size === snapsBefore)
+  }
+}
