@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{CrownOps, GeoOps}
+import graft.operators.{CrownOps, Dedup, GeoOps, Multimodal, Similarity, TextOps}
 import graft.tables.PagesGen
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -146,6 +146,40 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
     }),
 
+    // --- dedup suite over documents (SURVEY/training-data ops)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 3, thrMilli = 100)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+        n = 3, numHashes = 32, bands = 8, thrMilli = 100)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 8)),
+    "dedup_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(s.read.parquet(t(dir, "embeddings")), thrMicro = 350000L)),
+
+    // --- similarity search over embeddings
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(s.read.parquet(t(dir, "embeddings")), nQueries = 20, k = 10)),
+    "sim_cosine_topk_lsh" -> ((s, dir) =>
+      Similarity.cosineTopKLsh(s.read.parquet(t(dir, "embeddings")), nQueries = 20, k = 10, nPlanes = 48, bandBits = 4)),
+
+    // --- text analysis
+    "text_quality" -> ((s, dir) => TextOps.qualityStats(s.read.parquet(t(dir, "documents")))),
+    "text_token_bpe" -> ((s, dir) => TextOps.tokenCount(s.read.parquet(t(dir, "documents")))),
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(s.read.parquet(t(dir, "documents")))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(t(dir, "documents")))),
+
+    // --- multimodal plumbing (stub codec; Spark-side shapes real)
+    "mm_features" -> ((s, dir) =>
+      Multimodal.processMedia(s, PagesGen.pagesFor(s, dir).limit(2000)).toDF()
+        .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"), element_at(col("features"), 1).as("byte_len"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
+        .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
+
     // --- geometry pipeline (rows-only checks: not SQL-expressible)
     "crowns_synth" -> ((s, dir) => {
       val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
@@ -230,6 +264,47 @@ object SparkEntry {
          |WHERE rnk <= 5""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY 1",
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       (SELECT unnest(generate_series(1, 200)) AS i)
+        |  WHERE i + 2 <= len(toks)),
+        |sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common, la.s AS na, lb.s AS nb,
+        |  CAST(floor(1000 * common / (la.s + lb.s - common)) AS BIGINT) AS jac_milli
+        |FROM pairs JOIN sz la ON a = la.doc_id JOIN sz lb ON b = lb.doc_id
+        |WHERE floor(1000 * common / (la.s + lb.s - common)) >= 100""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM base WHERE vec_id < 20)
+        |SELECT query_id, rank, nbr_id, cos_micro FROM (
+        |  SELECT query_id, base.vec_id AS nbr_id,
+        |    CAST(floor(1e6 * list_dot_product(e, qe) / (nrm * qn)) AS BIGINT) AS cos_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY floor(1e6 * list_dot_product(e, qe) / (nrm * qn)) DESC, base.vec_id) AS rank
+        |  FROM base JOIN q ON base.vec_id <> query_id)
+        |WHERE rank <= 10""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS total_token_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords
+        |FROM documents""".stripMargin,
+    "text_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a text table
+  * (doc_id BIGINT, text STRING). All are expressed as declarative
+  * DataFrame plans (explode → equi-join → agg) so Catalyst handles
+  * shuffle planning; the LSH variants bound the candidate set the same
+  * way the cell index bounds spatial joins — band/bucket equi-joins
+  * instead of all-pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash (md5). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** Distinct word-n-gram shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ `thr` via inverted-index
+    * self-join on shingle (no O(N²): pairs only materialize where a
+    * shingle is shared; hot shingles are bounded by the shuffle and by
+    * AQE skew splitting). Output (a, b, common, na, nb, jac_milli)
+    * with a < b; jac_milli = floor(1000 * common / (na+nb-common))
+    * (integer → engine-exact for the oracle). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("l").join(sh.as("r"), col("l.shingle") === col("r.shingle"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("nb")), Seq("b"))
+      .withColumn("jac_milli",
+        floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
+      .filter(col("jac_milli") >= thrMilli)
+      .select("a", "b", "common", "na", "nb", "jac_milli")
+  }
+
+  /** MinHash signature: numHashes permutations h_i(s) = xxhash64(i, s),
+    * signature element i = min over the doc's shingles. Returns
+    * (doc_id, sig ARRAY<BIGINT>). One shuffle (the groupBy). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(docs, n)
+    val hashCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(hashCols.head, hashCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * rows, bucket-join docs sharing any band hash, then verify with the
+    * signature-level Jaccard estimate ≥ `thrMilli`/1000. The classic
+    * shingle→minhash→band→bucket-join pipeline; candidate generation is
+    * a pure equi-join on (band, bucket). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, thrMilli: Int = 500): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, concat_ws(",",
+            slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_milli",
+        floor(lit(1000) * size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), identity(_))) / numHashes).cast("long"))
+      .filter(col("est_milli") >= thrMilli)
+      .select("a", "b", "est_milli")
+  }
+
+  /** 64-bit SimHash from whitespace tokens: bit j of the hash votes
+    * +1/-1 per token depending on bit j of xxhash64(token); sign of the
+    * vote sum gives the fingerprint bit. Pure column expressions. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    // votes per bit: sum over tokens of (2*bit-1)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    docs.select(col("doc_id"),
+      bitCols.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * by the 4×16-bit chunk pigeonhole: any pair within distance ≤ 3
+    * shares at least one exact 16-bit chunk → candidate equi-join on
+    * (chunk index, chunk value), verified by popcount. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
+    chunked.as("l").join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.v") === col("r.v") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.CrownOps.mix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>). Brute-force cosine top-k is
+  * the correctness baseline (broadcast query side — the scalable shape
+  * for "few queries × huge corpus"); random-hyperplane LSH bucketing is
+  * the scale path for all-pairs workloads (candidates via bucket
+  * equi-join, exactly like the cell-index spatial joins).
+  * Dot products use `aggregate`/`zip_with` higher-order functions —
+  * no UDF on the hot path.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries)
+    * the k most similar other vectors. cos_micro = floor(1e6 * cosine)
+    * keeps the oracle comparison integer-exact. */
+  def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
+  }
+
+  /** Random-hyperplane signatures: `nPlanes` deterministic hyperplanes
+    * (splitmix64-seeded), signature bit j = sign(v · plane_j). Returns
+    * (vec_id, bucket) per band of `bandBits` planes. */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val dim = 64
+    // deterministic hyperplanes as literal arrays (tiny: nPlanes × dim)
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        // uniform in [-1, 1) from splitmix64
+        (Math.floorMod(mix64(p.toLong * 1000003L + d), 1000000L) / 500000.0) - 1.0
+      }
+    }
+    val bits: Seq[Column] = (0 until nPlanes).map { p =>
+      val pl = typedlit(planes(p))
+      when(dot(col("embedding"), pl) > 0, shiftleft(lit(1L), p % bandBits)).otherwise(0L)
+    }
+    val nBands = nPlanes / bandBits
+    val bandCols = (0 until nBands).map { b =>
+      bits.slice(b * bandBits, (b + 1) * bandBits).reduce((x, y) => x.bitwiseOR(y))
+        .as(s"band$b")
+    }
+    emb.select(col("vec_id") +: bandCols: _*)
+      .select(col("vec_id"), posexplode(array((0 until nBands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** LSH-accelerated cosine top-k: candidates share an LSH bucket in at
+    * least one band; exact cosine re-rank of candidates only. Recall
+    * depends on nPlanes/bandBits; ANN by construction (tested ≥0.6
+    * recall@10 on the synthetic embeddings vs brute force). */
+  def cosineTopKLsh(emb: DataFrame, nQueries: Int, k: Int,
+                    nPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val buckets = lshBuckets(emb, nPlanes, bandBits)
+    val base = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val qb = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+    val cand = qb.join(buckets, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    cand.join(base, Seq("vec_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ thrMicro/1e6) via LSH
+    * candidates — the embedding flavor of the dedup suite. */
+  def cosineNearDupPairs(emb: DataFrame, thrMicro: Long = 950000L,
+                         nPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
+    val buckets = lshBuckets(emb, nPlanes, bandBits)
+    val base = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cand = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("a"))
+      .join(base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("b"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * dot(col("ea"), col("eb")) / (col("na") * col("nb"))).cast("long"))
+      .filter(col("cos_micro") >= thrMicro)
+      .select("a", "b", "cos_micro")
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data operators: dedup recall on planted near-duplicates,
+  * ANN recall vs brute force, language-id on known-language samples,
+  * multimodal batch shapes. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 60 base docs from a small vocab + 20 planted near-duplicates
+    * (one word substituted) + 20 exact duplicates. */
+  private lazy val docs = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(seed: Long, len: Int): String =
+      (0 until len).map(k => vocab((graft.operators.CrownOps.mix64(seed * 100 + k) % 10).toInt.abs)).mkString(" ")
+    val base = (0L until 60L).map(i => (i, text(i, 40)))
+    val nearDups = (0L until 20L).map { i =>
+      val t = text(i, 40).split(" ")
+      t(17) = "substituted"
+      (100L + i, t.mkString(" "))
+    }
+    val exactDups = (0L until 20L).map(i => (200L + i, text(i, 40)))
+    spark.createDataset(base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups the planted exact duplicates") {
+    val groups = Dedup.exact(docs).filter(col("cnt") > 1).collect()
+    assert(groups.length === 20)
+    assert(groups.forall(_.getLong(1) == 2L))
+  }
+
+  test("ngram jaccard finds every planted near-duplicate pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, thrMilli = 700)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, 100L + i)) || pairs.contains((i, 200L + i)),
+        s"missing near-dup pair for base doc $i")
+    }
+    // exact dups have jaccard 1000
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 1000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(i => assert(exact.contains((i, 200L + i))))
+  }
+
+  test("minhash LSH recalls planted exact + most near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, numHashes = 32, bands = 8,
+      thrMilli = 500).select("a", "b").as[(Long, Long)].collect().toSet
+    // exact dups: identical signatures → always found
+    (0L until 20L).foreach(i => assert(pairs.contains((i, 200L + i))))
+    // near dups (true jaccard ~0.85): ≥80% recall expected from banding
+    val found = (0L until 20L).count(i => pairs.contains((i, 100L + i)))
+    assert(found >= 16, s"minhash near-dup recall too low: $found/20")
+  }
+
+  test("simhash: hamming 0 for exact dups, small for near dups") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { i =>
+      assert(sh(i) === sh(200L + i))
+      val hd = java.lang.Long.bitCount(sh(i) ^ sh(100L + i))
+      assert(hd <= 16, s"near-dup simhash distance unexpectedly large: $hd")
+    }
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(i => assert(pairs.contains((i, 200L + i))))
+  }
+
+  test("LSH cosine top-k: recall ≥ 0.5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, nQueries = 10, k = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.cosineTopKLsh(emb, nQueries = 10, k = 10, nPlanes = 48, bandBits = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall")
+    // approx results are a subset ranking of true candidates: every hit
+    // that IS in the exact top-k must have the same cos_micro there
+    val exactScores = Similarity.cosineTopK(emb, 10, 10)
+      .select("query_id", "nbr_id", "cos_micro").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.cosineTopKLsh(emb, 10, 10, nPlanes = 48, bandBits = 4)
+      .select("query_id", "nbr_id", "cos_micro").as[(Long, Long, Long)]
+      .collect().foreach { case (q, n, c) =>
+        exactScores.get((q, n)).foreach(e => assert(e === c))
+      }
+  }
+
+  test("cosine near-dup pairs are symmetric-free and above threshold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairs(emb, thrMicro = 300000L)
+      .as[(Long, Long, Long)].collect()
+    pairs.foreach { case (a, b, c) => assert(a < b && c >= 300000L) }
+  }
+
+  test("language id classifies known-language samples") {
+    val samples = Seq(
+      (1L, "the cat and the dog ran to the house of a friend", "en"),
+      (2L, "der hund und die katze ist nicht zu haus", "de"),
+      (3L, "le chat et la maison est dans les bois", "fr"),
+      (4L, "el perro y la casa de los amigos en un dia", "es"))
+      .toDF("doc_id", "text", "expected")
+    val out = TextOps.langId(samples).select("expected", "pred_lang")
+      .as[(String, String)].collect()
+    out.foreach { case (want, got) => assert(got === want) }
+    // no profile hits → 'und'
+    val und = TextOps.langId(Seq((9L, "xyzzy qwerty")).toDF("doc_id", "text"))
+      .select("pred_lang").as[String].head()
+    assert(und === "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val a = Seq((1L, "hello world"), (2L, "world hello")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(a).as[(Long, Long)].collect().toMap
+    assert(fp(1L) !== fp(2L))
+    val again = TextOps.fingerprint(a).as[(Long, Long)].collect().toMap
+    assert(fp === again)
+  }
+
+  test("multimodal: decode meta deterministic, features real byte stats") {
+    val pages = graft.tables.PagesGen.pages(spark, 50)
+    val out = Multimodal.processMedia(spark, pages).collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      assert(r.meta.ok && r.meta.width >= 64 && r.meta.height >= 64)
+      assert(r.features.length === 8)
+      assert(r.features(0) > 0) // byte length
+      // histogram buckets sum to ~1
+      val histSum = r.features.slice(3, 8).sum
+      assert(math.abs(histSum - 1.0f) < 1e-3)
+    }
+    val frames = Multimodal.sampleFrames(spark, pages, frames = 4)
+    assert(frames.count() === 200)
+  }
+}
