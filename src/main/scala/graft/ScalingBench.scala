@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence for the north rule ("≥0.8 throughput
+  * scaling efficiency from N to 4N executors"). No real cluster in this
+  * sandbox (BASELINE.md), so the same job runs at 8 and 32 cores on the
+  * same input — shuffle partitions scaled with cores — and
+  * efficiency = (rows/s @32) / (4 × rows/s @8).
+  *
+  * Methodology for a NOISY shared host (observed: external load of
+  * ~12 cores appearing/disappearing over minutes, individual run times
+  * varying 2-15x):
+  *  - alternate 8-core and 32-core sessions round-robin so slow drift
+  *    in neighbor load hits both sides equally;
+  *  - several runs per session, keep the MINIMUM (the least-interfered
+  *    observation estimates true machine capacity);
+  *  - shuffle dirs on tmpfs (/dev/shm) so the comparison is CPU-bound,
+  *    not bound by the shared disk;
+  *  - report per-round times + loadavg for transparency.
+  *
+  * Usage: runMain graft.ScalingBench [nAssign] [nPipeline] [rounds]
+  */
+object ScalingBench {
+
+  private def loadavg: String =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ").take(1).mkString)
+      .getOrElse("?")
+
+  /** Session with `nExec` executor JVMs x `coresPer` cores each.
+    * local-cluster (separate executor JVMs, own GC — the faithful
+    * "N vs 4N executors" shape) when SPARK_GRAFT_CLUSTER=1; single-JVM
+    * local[n] otherwise. */
+  private def session(nExec: Int, coresPer: Int): SparkSession = {
+    val totalCores = nExec * coresPer
+    val shm = new java.io.File("/dev/shm")
+    val builder = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", totalCores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+    val s = (if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("1"))
+      builder
+        .master(s"local-cluster[$nExec,$coresPer,6144]")
+        .config("spark.jars", sys.props.getOrElse("graft.jar",
+          "target/scala-2.13/tcdspark_2.13-0.1.0.jar"))
+        .config("spark.executor.memory", "5g")
+    else builder.master(s"local[$totalCores]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Best (min) wall seconds of `job` over `runsPerSession` runs in a
+    * fresh session at the given shape. */
+  def bestOf(nExec: Int, coresPer: Int, runsPerSession: Int,
+             warm: SparkSession => Unit, job: SparkSession => Unit): Double = {
+    val spark = session(nExec, coresPer)
+    try {
+      warm(spark)
+      (1 to runsPerSession).map { _ =>
+        System.gc()
+        Bench.time(job(spark))._2
+      }.min
+    } finally spark.stop()
+  }
+
+  final case class Result(best8: Double, best32: Double, rounds: Seq[(Double, Double)])
+
+  /** Alternate 8-core and 32-core sessions for `rounds` rounds; keep
+    * global minima. */
+  def alternating(rounds: Int, runsPerSession: Int,
+                  warm: SparkSession => Unit, job: SparkSession => Unit): Result = {
+    val pairs = (1 to rounds).map { r =>
+      val t8 = bestOf(1, 8, runsPerSession, warm, job)
+      val t32 = bestOf(4, 8, runsPerSession, warm, job)
+      System.err.println(f"[scaling] round $r: t8=$t8%.2f t32=$t32%.2f load=$loadavg")
+      (t8, t32)
+    }
+    Result(pairs.map(_._1).min, pairs.map(_._2).min, pairs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nAssign = args.headOption.map(_.toLong).getOrElse(16000000L)
+    val nPipeline = if (args.length > 1) args(1).toLong else 4000000L
+    val rounds = if (args.length > 2) args(2).toInt else 3
+
+    def report(job: String, rows: Long, r: Result): Unit = {
+      val eff = (rows / r.best32) / (4.0 * (rows / r.best8))
+      val roundsJson = r.rounds.map { case (a, b) => f"[$a%.2f,$b%.2f]" }
+        .mkString("[", ",", "]")
+      println(f"""{"job":"$job","rows":$rows,"sec_8":${r.best8}%.3f,""" +
+        f""""sec_32":${r.best32}%.3f,"rows_per_sec_8":${(rows / r.best8).toLong},""" +
+        f""""rows_per_sec_32":${(rows / r.best32).toLong},""" +
+        f""""scaling_efficiency":$eff%.3f,"rounds":$roundsJson}""")
+    }
+
+    report("tile_assign", nAssign,
+      alternating(rounds, 2, s => Bench.tileAssignJobN(s, nAssign / 4),
+        s => Bench.tileAssignJobN(s, nAssign)))
+    report("pipeline", nPipeline,
+      alternating(rounds, 2, s => Bench.pipelineJobN(s, nPipeline / 4),
+        s => Bench.pipelineJobN(s, nPipeline)))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{CrownOps, Dedup, GeoOps, Multimodal, Similarity, TextOps}
+import graft.operators.{CrownOps, Dedup, GeoOps, Multimodal, RasterOps, Similarity, TextOps}
 import graft.tables.PagesGen
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,6 +59,13 @@ object SparkEntry {
       .withColumn("poly_min_y", col("cy") - 40.5)
       .withColumn("poly_max_y", col("cy") + 35.5)
       .select("tri_id", "poly", "poly_min_x", "poly_max_x", "poly_min_y", "poly_max_y")
+  }
+
+  /** Region-0 crowns at the dir's scale — bounded input for the raster
+    * queries (one reference image worth). */
+  private def region0Crowns(s: SparkSession, dir: String) = {
+    val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir)).filter(col("region") === 0)
+    CrownOps.synthesize(s, GeoOps.assignTiles(pages), GeoOps.TileGrid.Default)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -179,6 +186,44 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
         .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
+
+    // --- grid kNN (the 100-TB candidate-pruned path; rows-only — ring
+    // candidates make it approximate at cell boundaries)
+    "geo_knn_grid" -> ((s, dir) => {
+      val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+        .filter(col("region") === 0).select(col("i"), col("x"), col("y"))
+      GeoOps.knnGrid(pages, k = 5).withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // --- per-tile detection cap (W4)
+    "crowns_capped" -> ((s, dir) => {
+      CrownOps.capPerTile(region0Crowns(s, dir), cap = 256).toDF()
+        .groupBy(col("region"), col("tileId").as("tile_id"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
+    // --- semantic raster path (rows-only: raster kernels)
+    "raster_coverage" -> ((s, dir) => {
+      val crowns = region0Crowns(s, dir)
+      val tiles = RasterOps.confidenceTiles(s, crowns, GeoOps.TileGrid.Default)
+      RasterOps.coverage(s, RasterOps.mosaic(s, tiles, GeoOps.TileGrid.Default), thr255 = 76)
+    }),
+    "raster_vectorize" -> ((s, dir) => {
+      val crowns = region0Crowns(s, dir)
+      val tiles = RasterOps.confidenceTiles(s, crowns, GeoOps.TileGrid.Default)
+      RasterOps.vectorizeMosaic(s, RasterOps.mosaic(s, tiles, GeoOps.TileGrid.Default), thr255 = 76)
+        .select(col("region"), col("cache_tile"), col("class_idx"),
+          floor(col("area")).cast("long").as("area_floor"))
+    }),
+    "raster_metrics" -> ((s, dir) => {
+      val all = region0Crowns(s, dir)
+      val kept = CrownOps.nms(s, all, iouThr = 0.7)
+      val pred = RasterOps.mosaic(s,
+        RasterOps.confidenceTiles(s, kept, GeoOps.TileGrid.Default), GeoOps.TileGrid.Default)
+      val truth = RasterOps.mosaic(s,
+        RasterOps.confidenceTiles(s, all, GeoOps.TileGrid.Default), GeoOps.TileGrid.Default)
+      RasterOps.confusionMetrics(s, pred, truth, thr255 = 76)
+    }),
 
     // --- geometry pipeline (rows-only checks: not SQL-expressible)
     "crowns_synth" -> ((s, dir) => {

@@ -140,6 +140,100 @@ object Raster {
     }
   }
 
+  /** Bilinear resample of a row-major uint8 raster to (outRows, outCols)
+    * — reference R4 (evaluate.py:48-57, util.py:191-193 bilinear
+    * window resample). Pixel-center sampling, edge-clamped. */
+  def resampleBilinear(src: Array[Byte], rows: Int, cols: Int,
+                       outRows: Int, outCols: Int): Array[Byte] = {
+    val out = new Array[Byte](outRows * outCols)
+    val sy = rows.toDouble / outRows
+    val sx = cols.toDouble / outCols
+    var r = 0
+    while (r < outRows) {
+      val fy = (r + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(rows - 1, math.floor(fy).toInt))
+      val y1 = math.min(rows - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var c = 0
+      while (c < outCols) {
+        val fx = (c + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(cols - 1, math.floor(fx).toInt))
+        val x1 = math.min(cols - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val v =
+          (src(y0 * cols + x0) & 0xff) * (1 - wy) * (1 - wx) +
+          (src(y0 * cols + x1) & 0xff) * (1 - wy) * wx +
+          (src(y1 * cols + x0) & 0xff) * wy * (1 - wx) +
+          (src(y1 * cols + x1) & 0xff) * wy * wx
+        out(r * outCols + c) = math.round(v).toByte
+        r * outCols + c
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Separable box blur with odd `kernel` size (edge-clamped) — the
+    * reference's anti-alias "fake PSF" before downsampling
+    * (data/tiling.py:427-437). */
+  def boxBlur(src: Array[Byte], rows: Int, cols: Int, kernel: Int): Array[Byte] = {
+    val k = kernel / 2
+    val tmp = new Array[Int](rows * cols)
+    val out = new Array[Byte](rows * cols)
+    var r = 0
+    while (r < rows) { // horizontal pass
+      var c = 0
+      while (c < cols) {
+        var s = 0; var n = 0
+        var d = -k
+        while (d <= k) {
+          val cc = c + d
+          if (cc >= 0 && cc < cols) { s += src(r * cols + cc) & 0xff; n += 1 }
+          d += 1
+        }
+        tmp(r * cols + c) = s / n
+        c += 1
+      }
+      r += 1
+    }
+    r = 0
+    while (r < rows) { // vertical pass
+      var c = 0
+      while (c < cols) {
+        var s = 0; var n = 0
+        var d = -k
+        while (d <= k) {
+          val rr = r + d
+          if (rr >= 0 && rr < rows) { s += tmp(rr * cols + c); n += 1 }
+          d += 1
+        }
+        out(r * cols + c) = (s / n).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Median of the raster values under a polygon (geometry-mask sample,
+    * reference P9/J5: util.py:37-79 filter_shapefile + R3
+    * geometry_mask). Returns -1 when the polygon covers no pixel. */
+  def maskedMedian(src: Array[Byte], rows: Int, cols: Int,
+                   poly: Array[Double]): Double = {
+    val mask = rasterize(poly, rows, cols)
+    val vals = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < mask.length) {
+      if (mask(i) != 0) vals += (src(i) & 0xff)
+      i += 1
+    }
+    if (vals.isEmpty) return -1.0
+    val s = vals.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** mask→polygon: trace the outer boundary of each connected component
     * (Moore-neighbor border following on the pixel grid), returning
     * pixel-corner rings. The lightweight analogue of

@@ -122,6 +122,21 @@ object CrownOps {
       }
   }
 
+  /** Max-detections-per-tile cap (reference W4: Detectron
+    * TEST.DETECTIONS_PER_IMAGE = 256, models/instance_segmentation.py:79)
+    * — keep the `cap` highest-scoring crowns per (region, tile). */
+  def capPerTile(crowns: Dataset[Crown], cap: Int = 256): Dataset[Crown] = {
+    import org.apache.spark.sql.expressions.Window
+    import crowns.sparkSession.implicits._
+    val w = Window.partitionBy(col("region"), col("tileId"))
+      .orderBy(col("score").desc, col("crownId"))
+    crowns.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+      .as[Crown]
+  }
+
   // ---------------------------------------------------------------------
   // Region-local exact pipeline (runs inside flatMapGroups; also the
   // single-node golden implementation for tests).
@@ -331,6 +346,31 @@ object CrownOps {
     crowns.groupByKey(c => (c.region, c.classIdx))
       .flatMapGroups((_: (Long, Int), it: Iterator[Crown]) =>
         nmsLocal(it.toIndexedSeq, iouThr).iterator)
+  }
+
+  /** Fused NMS + merge in ONE shuffle: both operators group on the same
+    * (region, class) key, so running them back-to-back inside a single
+    * flatMapGroups halves the pipeline's shuffles (the dominant cost at
+    * scale). Semantics identical to nms() followed by merge(). */
+  def nmsMerge(spark: SparkSession, crowns: Dataset[Crown], nmsIou: Double,
+               confThr: Double, mergeIou: Double): Dataset[MergedCrown] = {
+    import spark.implicits._
+    crowns.groupByKey(c => (c.region, c.classIdx))
+      .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
+        val (region, classIdx) = key
+        val kept = nmsLocal(it.toIndexedSeq, nmsIou)
+        mergeLocal(kept, classIdx, confThr, mergeIou).iterator.map(toMerged(region, classIdx, _))
+      })
+  }
+
+  private def toMerged(region: Long, classIdx: Int, inst: Inst): MergedCrown = {
+    val bb = inst.bbox
+    val area =
+      if (inst.parts.size == 1) Geom.area(inst.parts.head)
+      else Raster.unionArea(inst.parts, bb)
+    MergedCrown(region, classIdx, inst.ids.sorted.toArray,
+      median(inst.scores), inst.scores.toArray,
+      bb.minX, bb.minY, bb.maxX, bb.maxY, area, inst.parts.toArray)
   }
 
   /** Distributed merge: NMS → dissolve → split → median, per region and

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.{Geom, Raster}
+import graft.grid.TileGridSpec
+
+/** The semantic (raster) path: per-tile confidence rasters → inner-crop
+  * → non-overlapping mosaic → coverage stats / thresholding /
+  * vectorization / confusion metrics.
+  *
+  * Reference semantics (citations into /root/reference):
+  *  - confidence tile = uint8 class confidence ×255
+  *    (cache/semantic.py:257-286; background band dropped)
+  *  - inner-crop by tile_overlap/2 with edge exceptions — left/bottom
+  *    pads drop only at extent edge, right/top always crop ≥1 px (the
+  *    reference's `pred[:, b:-t, l:-r]` negative-slice quirk)
+  *    (postprocess/semanticprocessor.py:62-86)
+  *  - mosaic into non-overlapping cache tiles (cache/semantic.py:189-255)
+  *  - coverage = nonzero/valid (result/processedresult.py:109-118)
+  *  - confusion-matrix metrics accumulated tile-wise (evaluate.py:107-197)
+  *
+  * Rasters ride as one row per (region, tile, class): tile-as-row
+  * columnar blocks. `gsd` (pixels per raster cell, reference
+  * `target_gsd`) scales resolution; kernels run in flatMapGroups —
+  * partition-local, no shuffle beyond the tile group-by.
+  */
+object RasterOps {
+
+  /** One confidence raster tile (row-major uint8, nodata = 0). */
+  final case class ConfTile(region: Long, tileId: Long, classIdx: Int,
+                            minX: Long, minY: Long, rows: Int, cols: Int,
+                            gsd: Int, data: Array[Byte])
+
+  /** Rasterize each tile's crowns into a class-confidence tile:
+    * crown pixels get round(score×255), max-merged (paste mode 1) —
+    * the deterministic analogue of the semantic model's per-tile
+    * confidence output. */
+  def confidenceTiles(spark: SparkSession, crowns: Dataset[CrownOps.Crown],
+                      spec: TileGridSpec, gsd: Int = 8): Dataset[ConfTile] = {
+    import spark.implicits._
+    val cols = (spec.tileSize / gsd).toInt
+    crowns.groupByKey(c => (c.region, c.tileId, c.classIdx))
+      .flatMapGroups { (key: (Long, Long, Int), it: Iterator[CrownOps.Crown]) =>
+        val (region, tileId, classIdx) = key
+        val tile = spec.tile(tileId)
+        val data = new Array[Byte](cols * cols)
+        var any = false
+        it.foreach { c =>
+          val v = math.min(255, math.round(c.score * 255)).toByte
+          // crown polygon in tile-local raster coords
+          val local = Geom.affine(c.poly, 1.0 / gsd, 0, 0, 1.0 / gsd,
+            -tile.minX.toDouble / gsd, -tile.minY.toDouble / gsd)
+          val mask = Raster.rasterize(local, cols, cols)
+          var i = 0
+          while (i < mask.length) {
+            if (mask(i) != 0 && (data(i) & 0xff) < (v & 0xff)) data(i) = v
+            i += 1
+          }
+          any = true
+        }
+        if (!any) Iterator.empty
+        else Iterator.single(ConfTile(region, tileId, classIdx,
+          tile.minX, tile.minY, cols, cols, gsd, data))
+      }
+  }
+
+  /** Inner-crop a confidence tile by overlap/2 with the reference's edge
+    * rules (semanticprocessor.py:62-86): left/bottom pad drops at the
+    * extent origin; right/top always crop at least 1 px. */
+  def innerCrop(t: ConfTile, spec: TileGridSpec): ConfTile = {
+    val pad = (spec.overlap / 2 / t.gsd).toInt
+    val maxX = t.minX + t.cols.toLong * t.gsd
+    val maxY = t.minY + t.rows.toLong * t.gsd
+    val padLeft = if (t.minX != 0) pad else 0
+    val padBottom = if (t.minY != 0) pad else 0
+    val padRight = if (maxX <= spec.width) math.max(pad, 1) else 1
+    val padTop = if (maxY <= spec.height) math.max(pad, 1) else 1
+    val nc = t.cols - padLeft - padRight
+    val nr = t.rows - padBottom - padTop
+    val out = new Array[Byte](nr * nc)
+    var r = 0
+    while (r < nr) {
+      System.arraycopy(t.data, (r + padBottom) * t.cols + padLeft, out, r * nc, nc)
+      r += 1
+    }
+    t.copy(minX = t.minX + padLeft.toLong * t.gsd, minY = t.minY + padBottom.toLong * t.gsd,
+      rows = nr, cols = nc, data = out)
+  }
+
+  /** Mosaic inner-cropped tiles into the non-overlapping output grid
+    * (`cacheTileSize` world units per output tile): each input tile is
+    * split across the output tiles it touches and max-pasted. One
+    * shuffle on (region, cache tile). */
+  def mosaic(spark: SparkSession, tiles: Dataset[ConfTile], spec: TileGridSpec,
+             cacheTileSize: Long = 1024): Dataset[ConfTile] = {
+    import spark.implicits._
+    val cropped = tiles.map(innerCrop(_, spec))
+    val nCx = math.ceil(spec.width.toDouble / cacheTileSize).toInt
+    cropped
+      .flatMap { t =>
+        // output tiles overlapped by this (cropped) tile
+        val maxX = t.minX + t.cols.toLong * t.gsd
+        val maxY = t.minY + t.rows.toLong * t.gsd
+        for {
+          cy <- (t.minY / cacheTileSize) to ((maxY - 1) / cacheTileSize)
+          cx <- (t.minX / cacheTileSize) to ((maxX - 1) / cacheTileSize)
+        } yield ((t.region, t.classIdx, cy * nCx + cx), t)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Long, Int, Long), it: Iterator[((Long, Int, Long), ConfTile)]) =>
+        val (region, classIdx, cacheId) = key
+        val first = it.next()._2
+        val gsd = first.gsd
+        val cc = (cacheTileSize / gsd).toInt
+        val baseX = (cacheId % nCx) * cacheTileSize
+        val baseY = (cacheId / nCx) * cacheTileSize
+        val canvas = new Array[Byte](cc * cc)
+        (Iterator.single(first) ++ it.map(_._2)).foreach { t =>
+          Raster.paste(canvas, cc, cc, t.data, t.rows, t.cols,
+            ((t.minY - baseY) / gsd).toInt, ((t.minX - baseX) / gsd).toInt, mode = 1)
+        }
+        ConfTile(region, cacheId, classIdx, baseX, baseY, cc, cc, gsd, canvas)
+      }
+  }
+
+  /** Coverage statistics (A5): per (region, class), fraction of pixels
+    * with confidence > thr (in 255 units), in ppm for integer-exact
+    * comparisons. */
+  def coverage(spark: SparkSession, mosaicTiles: Dataset[ConfTile],
+               thr255: Int): DataFrame = {
+    import spark.implicits._
+    mosaicTiles
+      .map { t =>
+        var nz = 0L
+        var i = 0
+        while (i < t.data.length) { if ((t.data(i) & 0xff) > thr255) nz += 1; i += 1 }
+        (t.region, t.classIdx, nz, t.data.length.toLong)
+      }
+      .toDF("region", "class_idx", "nz", "total")
+      .groupBy(col("region"), col("class_idx"))
+      .agg((floor(lit(1000000) * sum(col("nz")) / sum(col("total")))).cast("long").as("cover_ppm"),
+        sum(col("nz")).as("covered_px"), sum(col("total")).as("total_px"))
+  }
+
+  /** Binarize + vectorize a mosaic (P4 + R2): polygons of connected
+    * regions above threshold, in world coords. */
+  def vectorizeMosaic(spark: SparkSession, mosaicTiles: Dataset[ConfTile],
+                      thr255: Int): DataFrame = {
+    import spark.implicits._
+    mosaicTiles.flatMap { t =>
+      val bin = new Array[Byte](t.data.length)
+      var i = 0
+      while (i < bin.length) { if ((t.data(i) & 0xff) > thr255) bin(i) = 1; i += 1 }
+      Raster.vectorize(bin, t.rows, t.cols).map { poly =>
+        val world = Geom.affine(poly, t.gsd.toDouble, 0, 0, t.gsd.toDouble,
+          t.minX.toDouble, t.minY.toDouble)
+        (t.region, t.tileId, t.classIdx, Geom.area(world), world)
+      }
+    }.toDF("region", "cache_tile", "class_idx", "area", "poly")
+  }
+
+  /** GSD rescale of confidence tiles (T4/R4): box-blur ≈1.5×scale then
+    * bilinear resize — the reference's downsample path
+    * (data/tiling.py:421-449). Partition-local kernel, no shuffle. */
+  def resampleTiles(spark: SparkSession, tiles: Dataset[ConfTile],
+                    newGsd: Int): Dataset[ConfTile] = {
+    import spark.implicits._
+    tiles.map { t =>
+      val scale = newGsd.toDouble / t.gsd
+      val data =
+        if (scale > 1) {
+          val kernel = math.max(1, math.round(1.5 * scale).toInt | 1)
+          val blurred = Raster.boxBlur(t.data, t.rows, t.cols, kernel)
+          Raster.resampleBilinear(blurred, t.rows, t.cols,
+            math.max(1, (t.rows / scale).toInt), math.max(1, (t.cols / scale).toInt))
+        } else Raster.resampleBilinear(t.data, t.rows, t.cols,
+          math.max(1, (t.rows / scale).toInt), math.max(1, (t.cols / scale).toInt))
+      val nr = math.max(1, (t.rows / scale).toInt)
+      val nc = math.max(1, (t.cols / scale).toInt)
+      t.copy(rows = nr, cols = nc, gsd = newGsd, data = data)
+    }
+  }
+
+  /** Semantic-score polygon filter (P9/J5): equi-join polygons (from
+    * vectorizeMosaic: region, cache_tile, class_idx, poly) to their
+    * raster tiles, compute the median confidence under each polygon
+    * (geometry-mask sample), keep those ≥ thr255. Mirrors
+    * util.py:37-79 `filter_shapefile` (median > 0.4). */
+  def filterByMaskMedian(spark: SparkSession, polys: DataFrame,
+                         mosaicTiles: Dataset[ConfTile], thr255: Double): DataFrame = {
+    import spark.implicits._
+    val tiles = mosaicTiles
+      .map(t => (t.region, t.classIdx, t.tileId, t.minX, t.minY, t.rows, t.cols, t.gsd, t.data))
+      .toDF("region", "class_idx", "cache_tile", "t_min_x", "t_min_y",
+        "t_rows", "t_cols", "t_gsd", "t_data")
+    val medianUdf = udf((poly: Seq[Double], minX: Long, minY: Long,
+                         rows: Int, cols: Int, gsd: Int, data: Array[Byte]) => {
+      val local = Geom.affine(poly.toArray, 1.0 / gsd, 0, 0, 1.0 / gsd,
+        -minX.toDouble / gsd, -minY.toDouble / gsd)
+      Raster.maskedMedian(data, rows, cols, local)
+    })
+    polys.join(tiles, Seq("region", "class_idx", "cache_tile"))
+      .withColumn("median_conf", medianUdf(col("poly"), col("t_min_x"),
+        col("t_min_y"), col("t_rows"), col("t_cols"), col("t_gsd"), col("t_data")))
+      .filter(col("median_conf") >= thr255)
+      .drop("t_min_x", "t_min_y", "t_rows", "t_cols", "t_gsd", "t_data")
+  }
+
+  /** Confusion-matrix metrics (A8) between two mosaics of the same
+    * grid/class (e.g. prediction vs reference): per (region, class)
+    * tp/fp/fn/tn partial-summed per tile then aggregated; accuracy /
+    * IoU / precision / recall / F1 in ppm. */
+  def confusionMetrics(spark: SparkSession, pred: Dataset[ConfTile],
+                       truth: Dataset[ConfTile], thr255: Int): DataFrame = {
+    import spark.implicits._
+    val p = pred.map(t => ((t.region, t.classIdx, t.tileId), t))
+    val g = truth.map(t => ((t.region, t.classIdx, t.tileId), t))
+    p.joinWith(g, p("_1") === g("_1"), "fullouter")
+      .map { case (pt, gt) =>
+        val key = if (pt != null) pt._1 else gt._1
+        val pd = if (pt != null) pt._2.data else null
+        val gd = if (gt != null) gt._2.data else null
+        val n = if (pd != null) pd.length else gd.length
+        var tp = 0L; var fp = 0L; var fn = 0L; var tn = 0L
+        var i = 0
+        while (i < n) {
+          val pv = pd != null && (pd(i) & 0xff) > thr255
+          val gv = gd != null && (gd(i) & 0xff) > thr255
+          if (pv && gv) tp += 1 else if (pv) fp += 1
+          else if (gv) fn += 1 else tn += 1
+          i += 1
+        }
+        (key._1, key._2, tp, fp, fn, tn)
+      }
+      .toDF("region", "class_idx", "tp", "fp", "fn", "tn")
+      .groupBy(col("region"), col("class_idx"))
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"), sum("tn").as("tn"))
+      .withColumn("accuracy_ppm",
+        floor(lit(1000000) * (col("tp") + col("tn")) / (col("tp") + col("fp") + col("fn") + col("tn"))).cast("long"))
+      .withColumn("iou_ppm",
+        floor(lit(1000000) * col("tp") / greatest(col("tp") + col("fp") + col("fn"), lit(1))).cast("long"))
+      .withColumn("precision_ppm",
+        floor(lit(1000000) * col("tp") / greatest(col("tp") + col("fp"), lit(1))).cast("long"))
+      .withColumn("recall_ppm",
+        floor(lit(1000000) * col("tp") / greatest(col("tp") + col("fn"), lit(1))).cast("long"))
+      .withColumn("f1_ppm",
+        floor(lit(2000000) * col("tp") / greatest(lit(2) * col("tp") + col("fp") + col("fn"), lit(1))).cast("long"))
+  }
+}

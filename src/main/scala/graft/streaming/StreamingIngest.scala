@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.GeoOps
+import graft.tables.{IcebergLite, PagesGen}
+
+/** Structured-Streaming façade over the batch engine. The reference is
+  * batch-with-checkpointing (SURVEY.md §2.10 — no event-time semantics
+  * exist in it), so streaming here is an INGEST mode: micro-batches of
+  * pages flow through the same geocode → tile-assign operators and each
+  * batch commits one IcebergLite snapshot with per-region lineage —
+  * `foreachBatch` + the commit log, exactly the pattern the survey
+  * prescribes. Event-time windowed aggregation with a watermark is
+  * provided for completeness (`cellCountsWindowed`).
+  */
+object StreamingIngest {
+
+  /** Turn a stream of page indices into the deterministic pages schema
+    * (same closed-form columns as the batch generator — one code path
+    * would drift, so both call PagesGen's column logic via a join-free
+    * projection). */
+  def pagesFromIndices(indices: DataFrame): DataFrame = {
+    // Reuse the batch generator expressions by re-deriving columns from i.
+    val df = indices.toDF("i")
+    val spark = indices.sparkSession
+    // PagesGen.pages is range-based; mirror its projections on a stream:
+    PagesGen.projectColumns(df)
+  }
+
+  /** Micro-batch ingest: per batch, tile-assign and commit one snapshot
+    * (stage "stream_assign") with per-region lineage. Returns the
+    * writer (caller starts/awaits). */
+  def ingest(spark: SparkSession, pages: DataFrame, warehouse: String,
+             checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val assigned = GeoOps.assignTiles(batch)
+            .select(col("i"), col("region"), col("tile_id"), col("x"), col("y"))
+          IcebergLite.commit(spark, warehouse, "stream_assign", assigned, "region")
+          ()
+        }
+      }
+  }
+
+  /** Event-time tumbling-window per-cell counts with a watermark —
+    * the standard streaming aggregation shape (not required by the
+    * reference; provided as the engine's streaming-agg operator). */
+  def cellCountsWindowed(pages: DataFrame, windowDur: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame = {
+    import graft.functions._
+    pages
+      .withColumn("cell", cell_encode(col("x"), col("y"), 6, 2048.0, 2048.0))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowDur), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

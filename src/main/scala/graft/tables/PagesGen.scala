@@ -67,8 +67,13 @@ object PagesGen {
     * (i, url, warc_ts, html, text, lang, x, y). Drop (i, x, y) for the
     * strict input_hint five-column shape; keeping them costs nothing
     * (they are recomputable projections). */
-  def pages(spark: SparkSession, n: Long): DataFrame = {
-    spark.range(n).toDF("i")
+  def pages(spark: SparkSession, n: Long): DataFrame =
+    projectColumns(spark.range(n).toDF("i"))
+
+  /** The generator's column logic over any (i BIGINT) relation — shared
+    * by the batch `range` path and the streaming ingest path. */
+  def projectColumns(base: DataFrame): DataFrame = {
+    base
       .withColumn("url", format_string("https://host-%04d.example/page-%08d",
         col("i") % 1000, col("i")))
       .withColumn("warc_ts", timestamp_seconds(lit(1609459200L) + (col("i") * 37) % 31536000))

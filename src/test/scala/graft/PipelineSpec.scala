@@ -54,6 +54,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(dKeys === gKeys)
   }
 
+  test("fused nmsMerge equals nms-then-merge") {
+    val ds = crownsFor(2000)
+    val sep = CrownOps.merge(spark, CrownOps.nms(spark, ds, 0.7), 0.3, 0.5).collect()
+    val fused = CrownOps.nmsMerge(spark, ds, 0.7, 0.3, 0.5).collect()
+    def key(m: CrownOps.MergedCrown) =
+      (m.region, m.classIdx, m.memberIds.toList, m.score, m.minX, m.maxY)
+    assert(sep.map(key).toSet === fused.map(key).toSet)
+  }
+
   test("NMS drops cross-tile duplicates: no page survives twice per class") {
     val kept = CrownOps.nms(spark, crownsFor(2000), 0.7).collect()
     val dupes = kept.groupBy(c => (c.pageId, c.classIdx)).filter(_._2.length > 1)

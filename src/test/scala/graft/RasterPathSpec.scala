@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CrownOps, GeoOps, RasterOps}
+import graft.tables.{FixtureIO, PagesGen}
+
+/** Semantic raster path + fixture serialization. */
+class RasterPathSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val crowns = {
+    val pages = PagesGen.pages(spark, 2000)
+    CrownOps.synthesize(spark, GeoOps.assignTiles(pages), GeoOps.TileGrid.Default)
+  }
+  private val spec = GeoOps.TileGrid.Default
+
+  test("confidence tiles: deterministic, within tile bounds, uint8 scores") {
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { t =>
+      assert(t.rows === 128 && t.cols === 128) // 1024 / gsd 8
+      assert(t.data.exists(_ != 0))
+    }
+    val again = RasterOps.confidenceTiles(spark, crowns, spec).collect()
+    assert(tiles.sortBy(t => (t.region, t.tileId, t.classIdx)).map(_.data.toSeq) ===
+      again.sortBy(t => (t.region, t.tileId, t.classIdx)).map(_.data.toSeq))
+  }
+
+  test("inner crop: reference pad semantics incl. ≥1px right/top") {
+    val t = RasterOps.ConfTile(0, 0, 0, 0, 0, 128, 128, 8, new Array[Byte](128 * 128))
+    val c = RasterOps.innerCrop(t, spec)
+    // tile 0 at origin: left/bottom keep 0 pad, right/top crop 16 cells (128px/8)
+    assert(c.minX === 0 && c.minY === 0)
+    assert(c.cols === 128 - 16 && c.rows === 128 - 16)
+    val t4 = RasterOps.ConfTile(0, 4, 0, 512, 512, 128, 128, 8, new Array[Byte](128 * 128))
+    val c4 = RasterOps.innerCrop(t4, spec)
+    assert(c4.minX === 512 + 128 && c4.cols === 128 - 32) // both sides cropped
+  }
+
+  test("mosaic covers the extent without double counting, coverage sane") {
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec)
+    val mos = RasterOps.mosaic(spark, tiles, spec)
+    val cov = RasterOps.coverage(spark, mos, thr255 = 76).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val ppm = r.getAs[Long]("cover_ppm")
+      assert(ppm > 0 && ppm < 1000000)
+    }
+    // total pixels per (region, class) = full extent once tiles merge
+    val totals = cov.map(_.getAs[Long]("total_px")).distinct
+    assert(totals.forall(_ <= 256L * 256L)) // 2048/8 squared
+  }
+
+  test("confusion metrics: self-comparison is perfect") {
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec)
+    val mos = RasterOps.mosaic(spark, tiles, spec)
+    val m = RasterOps.confusionMetrics(spark, mos, mos, thr255 = 76).collect()
+    m.foreach { r =>
+      assert(r.getAs[Long]("fp") === 0L && r.getAs[Long]("fn") === 0L)
+      assert(r.getAs[Long]("accuracy_ppm") === 1000000L)
+      assert(r.getAs[Long]("iou_ppm") === 1000000L)
+    }
+  }
+
+  test("NMS-filtered mosaic vs full mosaic: high but imperfect recall") {
+    val kept = CrownOps.nms(spark, crowns, 0.7)
+    val pred = RasterOps.mosaic(spark, RasterOps.confidenceTiles(spark, kept, spec), spec)
+    val truth = RasterOps.mosaic(spark, RasterOps.confidenceTiles(spark, crowns, spec), spec)
+    val m = RasterOps.confusionMetrics(spark, pred, truth, thr255 = 76).collect()
+    m.foreach { r =>
+      val recall = r.getAs[Long]("recall_ppm")
+      assert(recall > 700000L, s"recall $recall") // NMS suppression drops some area
+      assert(r.getAs[Long]("fp") === 0L) // kept ⊆ all → no false positives
+    }
+  }
+
+  test("vectorize mosaic: polygons re-rasterize consistently") {
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec)
+    val mos = RasterOps.mosaic(spark, tiles, spec)
+    val polys = RasterOps.vectorizeMosaic(spark, mos, thr255 = 76).collect()
+    assert(polys.nonEmpty)
+    polys.foreach(r => assert(r.getAs[Double]("area") > 0))
+  }
+
+  test("resample: downsample preserves mean; blur smooths") {
+    val src = new Array[Byte](64 * 64)
+    for (r <- 16 until 48; c <- 16 until 48) src(r * 64 + c) = 100.toByte
+    val down = graft.geom.Raster.resampleBilinear(src, 64, 64, 32, 32)
+    val meanSrc = src.map(_ & 0xff).sum / (64.0 * 64)
+    val meanDown = down.map(_ & 0xff).sum / (32.0 * 32)
+    assert(math.abs(meanSrc - meanDown) < 2.0)
+    val blurred = graft.geom.Raster.boxBlur(src, 64, 64, 5)
+    assert((blurred(20 * 64 + 15) & 0xff) > 0) // edge smeared outward
+    // resampleTiles op end-to-end
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec)
+    val res = RasterOps.resampleTiles(spark, tiles, newGsd = 16).collect()
+    res.foreach(t => assert(t.rows === 64 && t.gsd === 16))
+  }
+
+  test("masked median + filterByMaskMedian (P9) keep strong polygons") {
+    val tiles = RasterOps.confidenceTiles(spark, crowns, spec)
+    val mos = RasterOps.mosaic(spark, tiles, spec)
+    val polys = RasterOps.vectorizeMosaic(spark, mos, thr255 = 76)
+    val kept = RasterOps.filterByMaskMedian(spark, polys, mos, thr255 = 76.0)
+    val nAll = polys.count()
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nAll)
+    // polygons vectorized at thr have median above thr by construction
+    assert(nKept === nAll)
+  }
+
+  test("per-tile cap (W4): at most 256 crowns per tile, highest scores kept") {
+    val capped = CrownOps.capPerTile(crowns, cap = 10).collect()
+    val byTile = capped.groupBy(c => (c.region, c.tileId))
+    byTile.foreach { case (_, cs) => assert(cs.length <= 10) }
+    val all = crowns.collect().groupBy(c => (c.region, c.tileId))
+    byTile.foreach { case (key, cs) =>
+      val want = all(key).sortBy(c => (-c.score, c.crownId)).take(10)
+        .map(_.crownId).toSet
+      assert(cs.map(_.crownId).toSet === want)
+    }
+  }
+
+  test("COCO JSON round trip (S4): encode → parse → mask identical") {
+    val c = crowns.head()
+    val json = FixtureIO.crownToCocoJson(c)
+    val rec = FixtureIO.cocoFromJson(json)
+    assert(rec.id === c.crownId && rec.categoryId === c.classIdx)
+    assert(math.abs(rec.score - c.score) < 1e-6)
+    val (rows, cols, rle) = FixtureIO.polyRle(c.poly)
+    assert(rec.maskRows === rows && rec.maskCols === cols)
+    assert(rec.mask.sameElements(graft.geom.Raster.rleDecode(rle, rows, cols)))
+  }
+
+  test("fixture round trip: WKT and canonical JSON stable") {
+    val poly = Array(10.0, 10.0, 30.0, 12.0, 28.0, 30.0, 9.0, 25.0)
+    val wkt = FixtureIO.polyToWkt(poly)
+    assert(FixtureIO.wktToPoly(wkt).toSeq === poly.toSeq)
+    assert(FixtureIO.fmt(1.5) === "1.5" && FixtureIO.fmt(2.0) === "2"
+      && FixtureIO.fmt(0.1234567) === "0.123457")
+    val (rows, cols, rle) = FixtureIO.polyRle(poly)
+    assert(rle.sum === rows * cols)
+  }
+}
