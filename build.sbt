@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Scaling-bench fairness: simulate a machine of N cores (GC/JIT thread
+// pools sized to N, not the 32-core host) — set by tools/scaling_run.sh.
+javaOptions ++= sys.env.get("SPARK_ACTIVE_PROCS")
+  .map(p => s"-XX:ActiveProcessorCount=$p").toSeq

@@ -48,6 +48,10 @@ object ScalingBench {
         .config("spark.jars", sys.props.getOrElse("graft.jar",
           "target/scala-2.13/tcdspark_2.13-0.1.0.jar"))
         .config("spark.executor.memory", "5g")
+        // each executor JVM sized like a real cluster node: GC/JIT
+        // thread pools scaled to ITS cores, not the host's 32
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$coresPer")
     else builder.master(s"local[$totalCores]"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -72,13 +76,13 @@ object ScalingBench {
 
   /** Alternate 8-core and 32-core sessions for `rounds` rounds; keep
     * global minima. */
-  def alternating(rounds: Int, runsPerSession: Int,
+  def alternating(rounds: Int, runsPerSession: Int, coresPer: Int,
                   warm: SparkSession => Unit, job: SparkSession => Unit): Result = {
     val pairs = (1 to rounds).map { r =>
-      val t8 = bestOf(1, 8, runsPerSession, warm, job)
-      val t32 = bestOf(4, 8, runsPerSession, warm, job)
-      System.err.println(f"[scaling] round $r: t8=$t8%.2f t32=$t32%.2f load=$loadavg")
-      (t8, t32)
+      val tN = bestOf(1, coresPer, runsPerSession, warm, job)
+      val t4N = bestOf(4, coresPer, runsPerSession, warm, job)
+      System.err.println(f"[scaling] round $r: tN=$tN%.2f t4N=$t4N%.2f load=$loadavg")
+      (tN, t4N)
     }
     Result(pairs.map(_._1).min, pairs.map(_._2).min, pairs)
   }
@@ -87,22 +91,45 @@ object ScalingBench {
     val nAssign = args.headOption.map(_.toLong).getOrElse(16000000L)
     val nPipeline = if (args.length > 1) args(1).toLong else 4000000L
     val rounds = if (args.length > 2) args(2).toInt else 3
+    // N and 4N worker cores. On this shared host external load of
+    // 10-19 cores is common; N=4 (4 vs 16) keeps BOTH configurations
+    // within the free capacity so the ratio measures the ENGINE, not
+    // the neighbors. Override with SPARK_GRAFT_BASE_CORES=8 for 8 vs 32.
+    val baseCores = sys.env.getOrElse("SPARK_GRAFT_BASE_CORES", "4").toInt
 
     def report(job: String, rows: Long, r: Result): Unit = {
       val eff = (rows / r.best32) / (4.0 * (rows / r.best8))
       val roundsJson = r.rounds.map { case (a, b) => f"[$a%.2f,$b%.2f]" }
         .mkString("[", ",", "]")
-      println(f"""{"job":"$job","rows":$rows,"sec_8":${r.best8}%.3f,""" +
-        f""""sec_32":${r.best32}%.3f,"rows_per_sec_8":${(rows / r.best8).toLong},""" +
-        f""""rows_per_sec_32":${(rows / r.best32).toLong},""" +
+      println(f"""{"job":"$job","rows":$rows,"cores_n":$baseCores,""" +
+        f""""cores_4n":${4 * baseCores},"sec_n":${r.best8}%.3f,""" +
+        f""""sec_4n":${r.best32}%.3f,"rows_per_sec_n":${(rows / r.best8).toLong},""" +
+        f""""rows_per_sec_4n":${(rows / r.best32).toLong},""" +
         f""""scaling_efficiency":$eff%.3f,"rounds":$roundsJson}""")
     }
 
+    // mode "n" / "4n": measure ONE side only (caller pins the JVM's
+    // ActiveProcessorCount to that side's cores → fair GC/JIT sizing;
+    // see tools/scaling_run.sh). Default "both" = alternating rounds.
+    val mode = if (args.length > 3) args(3) else "both"
+    if (mode == "n" || mode == "4n") {
+      val nExec = if (mode == "n") 1 else 4
+      val aSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 2,
+        s => Bench.tileAssignJobN(s, nAssign / 4),
+        s => Bench.tileAssignJobN(s, nAssign))).min
+      val pSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 2,
+        s => Bench.pipelineJobN(s, nPipeline / 4),
+        s => Bench.pipelineJobN(s, nPipeline))).min
+      println(f"""{"mode":"$mode","cores":${nExec * baseCores},""" +
+        f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
+        f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"$loadavg"}""")
+      return
+    }
     report("tile_assign", nAssign,
-      alternating(rounds, 2, s => Bench.tileAssignJobN(s, nAssign / 4),
+      alternating(rounds, 2, baseCores, s => Bench.tileAssignJobN(s, nAssign / 4),
         s => Bench.tileAssignJobN(s, nAssign)))
     report("pipeline", nPipeline,
-      alternating(rounds, 2, s => Bench.pipelineJobN(s, nPipeline / 4),
+      alternating(rounds, 2, baseCores, s => Bench.pipelineJobN(s, nPipeline / 4),
         s => Bench.pipelineJobN(s, nPipeline)))
   }
 }

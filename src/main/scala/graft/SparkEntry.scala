@@ -119,6 +119,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // --- salted two-phase aggregation over hot cells (skew handling):
+    // must equal the plain per-cell counts — oracle-checked.
+    "geo_cell_salted" -> ((s, dir) => {
+      val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+      val cellsUdf = udf((cell: Long) =>
+        (graft.grid.CellIndex.ix(cell), graft.grid.CellIndex.iy(cell)))
+      GeoOps.saltedCellCounts(pages, level = 8, salt = 16)
+        .withColumn("ixy", cellsUdf(col("cell")))
+        .select(col("ixy._1").as("ix"), col("ixy._2").as("iy"), col("cnt"))
+    }),
+
     // --- tile assignment (T1/T5: the spatial join as arithmetic)
     "geo_tile_assign" -> ((s, dir) => {
       GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
@@ -275,6 +286,11 @@ object SparkEntry {
          |  CAST(floor(x / 8) AS BIGINT) AS ix, CAST(floor(y / 8) AS BIGINT) AS iy,
          |  count(*) AS cnt
          |FROM pages GROUP BY 1, 2, 3""".stripMargin,
+    "geo_cell_salted" ->
+      s"""$pagesCte
+         |SELECT CAST(floor(x / 8) AS BIGINT) AS ix,
+         |  CAST(floor(y / 8) AS BIGINT) AS iy, count(*) AS cnt
+         |FROM pages GROUP BY 1, 2""".stripMargin,
     "geo_tile_assign" ->
       s"""$pagesCte, tiles AS (
          |  SELECT t AS tile_id, CAST((t % 3) * 512 AS DOUBLE) AS min_x,

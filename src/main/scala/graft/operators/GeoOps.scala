@@ -77,6 +77,24 @@ object GeoOps {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
   }
 
+  /** Two-phase salted aggregation for hot cells (north rule: "skew
+    * handled by salted repartitioning"). Phase 1 groups on
+    * (cell, hash(i) % salt) so a hot cell's rows spread over `salt`
+    * reducers; phase 2 merges the partials. Result is identical to a
+    * plain groupBy(cell).count() — verified in tests — but no single
+    * reducer ever sees a hot cell's full row set. AQE skew-join
+    * splitting handles the join-side analogue automatically. */
+  def saltedCellCounts(pages: DataFrame, level: Int = 8, salt: Int = 16): DataFrame = {
+    pages
+      .withColumn("cell", cell_encode(col("x"), col("y"), level,
+        TileGrid.ExtentX, TileGrid.ExtentY))
+      .withColumn("salt", pmod(hash(col("i")), lit(salt)))
+      .groupBy(col("cell"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("cell"))
+      .agg(sum(col("partial")).as("cnt"))
+  }
+
   /** Scalable grid kNN (SURVEY.md J8/W3): candidates = neighbor-cell
     * ring at `level` (self equi-join on cell id), then per-query top-k
     * window. Exact whenever the true kth neighbor lies within the ring

@@ -56,11 +56,7 @@ def main(sf_dir, out_dir):
             if gco != wco:
                 print("   column mismatch")
             else:
-                gset = set()
-                for r in grows[:]:
-                    pass
                 # show first differing canonical rows
-                _, _ = gh, wh
                 gl = sorted("\x1f".join(map(repr, [r[i] for i in sorted(range(len(gcols)), key=lambda i: gcols[i])])) for r in grows)
                 wl = sorted("\x1f".join(map(repr, [r[i] for i in sorted(range(len(wcols)), key=lambda i: wcols[i])])) for r in wrows)
                 for a, b in zip(gl, wl):
