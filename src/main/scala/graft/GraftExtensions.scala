@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the engine's Catalyst
+  * expressions in the SQL function registry so they are callable from
+  * `spark.sql(...)` as well as the Column API — wire with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * (SURVEY.md §2.11: "registered via FunctionRegistry so it also works
+  * from SQL".)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
+}
+
+object GraftExtensions {
+
+  private def dbl(e: Expression): Double =
+    e.asInstanceOf[Literal].value.toString.toDouble
+
+  private def int(e: Expression): Int =
+    e.asInstanceOf[Literal].value.toString.toDouble.toInt
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cell_encode" -> ((args: Seq[Expression]) =>
+      CellEncode(args(0), args(1), int(args(2)), dbl(args(3)), dbl(args(4)))),
+    "st_contains_point" -> ((args: Seq[Expression]) =>
+      STContainsPoint(args(0), args(1), args(2))),
+    "st_intersects" -> ((args: Seq[Expression]) => STIntersects(args(0), args(1))),
+    "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
+    "st_centroid" -> ((args: Seq[Expression]) => STCentroid(args(0))),
+    "st_simplify" -> ((args: Seq[Expression]) => STSimplify(args(0), dbl(args(1)))),
+    "st_affine" -> ((args: Seq[Expression]) => STAffine(args(0), dbl(args(1)),
+      dbl(args(2)), dbl(args(3)), dbl(args(4)), dbl(args(5)), dbl(args(6)))),
+    "poly_iou" -> ((args: Seq[Expression]) => PolyIoU(args(0), args(1))),
+    "poly_rle" -> ((args: Seq[Expression]) => PolyRLE(args(0))))
+
+  /** Register on an already-built session (extensions only run at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, b)
+    }
+}

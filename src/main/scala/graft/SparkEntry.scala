@@ -97,6 +97,25 @@ object SparkEntry {
         .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
     }),
 
+    // --- exact percentile aggregate (W5)
+    "q_percentile" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(floor(expr("percentile(round(l_extendedprice * 100), 0.5)")).cast("long")
+          .as("median_cents"),
+          floor(expr("percentile(round(l_extendedprice * 100), 0.9)")).cast("long")
+            .as("p90_cents"))
+    }),
+
+    // --- overlapping bbox pair join (J2) over region-0 crowns
+    "geo_bbox_pairs" -> ((s, dir) => {
+      val boxes = region0Crowns(s, dir).toDF()
+        .select(col("region"), col("crownId").as("id"),
+          col("minX").as("min_x"), col("minY").as("min_y"),
+          col("maxX").as("max_x"), col("maxY").as("max_y"))
+      GeoOps.overlappingPairs(boxes)
+    }),
+
     // --- pages generator + per-row text invariant (input_hint contract)
     "pages_invariant" -> ((s, dir) => {
       PagesGen.pagesFor(s, dir)
@@ -286,6 +305,11 @@ object SparkEntry {
          |  CAST(floor(x / 8) AS BIGINT) AS ix, CAST(floor(y / 8) AS BIGINT) AS iy,
          |  count(*) AS cnt
          |FROM pages GROUP BY 1, 2, 3""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(floor(quantile_cont(round(l_extendedprice * 100), 0.5)) AS BIGINT) AS median_cents,
+        |  CAST(floor(quantile_cont(round(l_extendedprice * 100), 0.9)) AS BIGINT) AS p90_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "geo_cell_salted" ->
       s"""$pagesCte
          |SELECT CAST(floor(x / 8) AS BIGINT) AS ix,

@@ -118,6 +118,71 @@ case class PolyIoU(a: Expression, b: Expression)
     copy(a = l, b = r)
 }
 
+/** 6-parameter affine transform of a flat coords array: x' = a·x + b·y
+  * + xoff, y' = d·x + e·y + yoff (the px↔world transform,
+  * docs/cache.md:70-120; exact double math for fixture parity). */
+case class STAffine(geom: Expression, a: Double, b: Double, d: Double,
+                    e: Double, xoff: Double, yoff: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def child: Expression = geom
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_affine"
+  override protected def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Geom.affine(v.asInstanceOf[ArrayData].toDoubleArray(), a, b, d, e, xoff, yoff))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(geom = c)
+}
+
+/** Douglas–Peucker simplification (shapely simplify analogue,
+  * util.py:106-109). */
+case class STSimplify(geom: Expression, tolerance: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def child: Expression = geom
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Geom.simplify(v.asInstanceOf[ArrayData].toDoubleArray(), tolerance))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(geom = c)
+}
+
+/** Polygon centroid as [cx, cy]. */
+case class STCentroid(geom: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def child: Expression = geom
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_centroid"
+  override protected def nullSafeEval(v: Any): Any = {
+    val (cx, cy) = Geom.centroid(v.asInstanceOf[ArrayData].toDoubleArray())
+    UnsafeArrayData.fromPrimitiveArray(Array(cx, cy))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(geom = c)
+}
+
+/** COCO column-major RLE of the polygon's mask over its integer-snapped
+  * bbox: returns [rows, cols, count0, count1, ...] (reference RLE
+  * codec, processedinstance.py:102-147). */
+case class PolyRLE(geom: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def child: Expression = geom
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_rle"
+  override protected def nullSafeEval(v: Any): Any = {
+    val (rows, cols, counts) =
+      graft.tables.FixtureIO.polyRle(v.asInstanceOf[ArrayData].toDoubleArray())
+    UnsafeArrayData.fromPrimitiveArray(Array(rows, cols) ++ counts)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(geom = c)
+}
+
 /** Polygon area (shoelace) over a flat coords array. */
 case class STArea(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression

@@ -37,6 +37,22 @@ package object functions {
 
   def st_area(poly: Column): Column = toCol(STArea(toExpr(poly)))
 
+  def st_affine(poly: Column, a: Double, b: Double, d: Double, e: Double,
+                xoff: Double, yoff: Double): Column =
+    toCol(STAffine(toExpr(poly), a, b, d, e, xoff, yoff))
+
+  /** Local→global tile shift (instanceprocessor.py:90-97). */
+  def st_translate(poly: Column, dx: Double, dy: Double): Column =
+    st_affine(poly, 1, 0, 0, 1, dx, dy)
+
+  def st_simplify(poly: Column, tolerance: Double): Column =
+    toCol(STSimplify(toExpr(poly), tolerance))
+
+  def st_centroid(poly: Column): Column = toCol(STCentroid(toExpr(poly)))
+
+  /** [rows, cols, rleCounts...] of the polygon's integer-snapped mask. */
+  def poly_rle(poly: Column): Column = toCol(PolyRLE(toExpr(poly)))
+
   /** bbox IoU as a pure-builtin composition — fully codegen'd. */
   def bbox_iou(aMinX: Column, aMinY: Column, aMaxX: Column, aMaxY: Column,
                bMinX: Column, bMinY: Column, bMaxX: Column, bMaxY: Column): Column = {

@@ -77,6 +77,34 @@ object GeoOps {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
   }
 
+  /** Overlapping-neighbors self-join (J2, util.py:531-554): all pairs
+    * of boxes that intersect, found by a cell-discretized self
+    * equi-join. Deduplication is join-free: a pair is reported only by
+    * the cell containing the top-left corner of the bbox intersection,
+    * so no distinct() shuffle is needed. Input: (region, id, min_x,
+    * min_y, max_x, max_y). Output: (region, a, b) with a < b. */
+  def overlappingPairs(boxes: DataFrame, cellSize: Double = 64.0): DataFrame = {
+    def withCells(df: DataFrame, p: String) = df.select(
+        col("region").as(s"${p}region"), col("id").as(s"${p}id"),
+        col("min_x").as(s"${p}min_x"), col("min_y").as(s"${p}min_y"),
+        col("max_x").as(s"${p}max_x"), col("max_y").as(s"${p}max_y"))
+      .withColumn("cx", explode(sequence(
+        floor(col(s"${p}min_x") / cellSize), floor(col(s"${p}max_x") / cellSize))))
+      .withColumn("cy", explode(sequence(
+        floor(col(s"${p}min_y") / cellSize), floor(col(s"${p}max_y") / cellSize))))
+    val l = withCells(boxes, "l_")
+    val r = withCells(boxes, "r_")
+    l.join(r,
+        col("l_region") === col("r_region") &&
+        l("cx") === r("cx") && l("cy") === r("cy") &&
+        col("l_id") < col("r_id") &&
+        bbox_intersects(col("l_min_x"), col("l_min_y"), col("l_max_x"), col("l_max_y"),
+          col("r_min_x"), col("r_min_y"), col("r_max_x"), col("r_max_y")) &&
+        floor(greatest(col("l_min_x"), col("r_min_x")) / cellSize) === l("cx") &&
+        floor(greatest(col("l_min_y"), col("r_min_y")) / cellSize) === l("cy"))
+      .select(col("l_region").as("region"), col("l_id").as("a"), col("r_id").as("b"))
+  }
+
   /** Two-phase salted aggregation for hot cells (north rule: "skew
     * handled by salted repartitioning"). Phase 1 groups on
     * (cell, hash(i) % salt) so a hot cell's rows spread over `salt`

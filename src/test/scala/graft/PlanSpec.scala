@@ -67,6 +67,38 @@ class PlanSpec extends AnyFunSuite {
     assert(hot > 10 * plain.values.sum / plain.size, "hot cell not planted?")
   }
 
+  test("overlappingPairs (J2) equals brute force, dedup-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val boxes = (0 until 300).map { i =>
+      val x = rnd.nextDouble() * 500; val y = rnd.nextDouble() * 500
+      (0L, i.toLong, x, y, x + 10 + rnd.nextDouble() * 120, y + 10 + rnd.nextDouble() * 120)
+    }
+    val df = boxes.toDF("region", "id", "min_x", "min_y", "max_x", "max_y")
+    val got = GeoOps.overlappingPairs(df).select("a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length, "pair reported twice")
+    val want = (for {
+      a <- boxes; b <- boxes
+      if a._2 < b._2 &&
+        a._3 <= b._5 && b._3 <= a._5 && a._4 <= b._6 && b._4 <= a._6
+    } yield (a._2, b._2)).toSet
+    assert(got.toSet === want)
+  }
+
+  test("SQL surface: expressions callable from spark.sql after register") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT st_area(array(0D,0D,10D,0D,10D,10D,0D,10D)) AS a,
+        |  st_contains_point(array(0D,0D,10D,0D,10D,10D,0D,10D), 5D, 5D) AS inside,
+        |  cell_encode(100D, 200D, 8, 2048D, 2048D) AS cell,
+        |  st_area(st_affine(array(0D,0D,10D,0D,10D,10D,0D,10D), 2D, 0D, 0D, 2D, 5D, 5D)) AS scaled,
+        |  st_centroid(array(0D,0D,10D,0D,10D,10D,0D,10D))[0] AS cx""".stripMargin).head()
+    assert(row.getDouble(0) === 100.0 && row.getBoolean(1))
+    assert(row.getLong(2) === graft.grid.CellIndex.encode(100, 200, 8, 2048, 2048))
+    assert(row.getDouble(3) === 400.0 && row.getDouble(4) === 5.0)
+  }
+
   test("q1 aggregate uses partial aggregation (two HashAggregate phases)") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
