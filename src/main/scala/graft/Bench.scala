@@ -64,13 +64,17 @@ object Bench {
 
     // headline: tile-assignment throughput (north metric), warm (2nd run)
     tileAssignJob(spark, sfDir) // warm-up: JIT + codegen + file listing
+    System.gc()
     val (assignRows, assignSec) = time(tileAssignJob(spark, sfDir))
     val pagesRows = PagesGen.rowsFor(sfDir)
     val rowsPerSec = (pagesRows / assignSec).toLong
 
+    pipelineJob(spark, sfDir) // warm-up
+    System.gc()
     val (mergedRows, pipelineSec) = time(pipelineJob(spark, sfDir))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // isolate queries from each other's allocation debt
       val (_, sec) = time {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }

@@ -268,8 +268,7 @@ object SparkEntry {
     "crowns_merged" -> ((s, dir) => {
       val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
       val crowns = CrownOps.synthesize(s, assigned, GeoOps.TileGrid.Default)
-      val kept = CrownOps.nms(s, crowns, iouThr = 0.7)
-      CrownOps.merge(s, kept, confThr = 0.3, iouThr = 0.5).toDF()
+      CrownOps.nmsMerge(s, crowns, nmsIou = 0.7, confThr = 0.3, mergeIou = 0.5).toDF()
         .select(col("region"), col("classIdx").as("class_idx"), col("score"),
           col("minX").as("min_x"), col("minY").as("min_y"),
           col("maxX").as("max_x"), col("maxY").as("max_y"), col("area"),

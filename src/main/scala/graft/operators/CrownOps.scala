@@ -271,19 +271,48 @@ object CrownOps {
     * drop instances containing more than `maxOverlaps` other instances'
     * centroids. Instances here are raw (single-part). */
   def filterCentroids(group: IndexedSeq[Inst], maxOverlaps: Int = 1): IndexedSeq[Inst] = {
+    val n = group.size
     val cents = group.map(g => Geom.centroid(g.parts.head))
-    val counts = new Array[Int](group.size)
+    val counts = new Array[Int](n)
+    // spatial-hash the centroids so each polygon only tests centroids in
+    // the cells its bbox covers — O(n·local) instead of O(n²) (dense
+    // dissolve components reach thousands of members).
+    val cellSize = 64.0
+    val byCell = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
     var ai = 0
-    while (ai < group.size) {
-      var bi = 0
-      while (bi < group.size) {
-        if (ai != bi &&
-            group(bi).bbox.contains(cents(ai)._1, cents(ai)._2) &&
-            Geom.containsPoint(group(bi).parts.head, cents(ai)._1, cents(ai)._2))
-          counts(bi) += 1
-        bi += 1
-      }
+    while (ai < n) {
+      val key = math.floor(cents(ai)._2 / cellSize).toLong * 1000003L +
+        math.floor(cents(ai)._1 / cellSize).toLong
+      var lst = byCell.get(key)
+      if (lst == null) { lst = new java.util.ArrayList[Int](); byCell.put(key, lst) }
+      lst.add(ai)
       ai += 1
+    }
+    var bi = 0
+    while (bi < n) {
+      val b = group(bi)
+      val bb = b.bbox
+      var cy = math.floor(bb.minY / cellSize).toLong
+      while (cy <= math.floor(bb.maxY / cellSize).toLong) {
+        var cx = math.floor(bb.minX / cellSize).toLong
+        while (cx <= math.floor(bb.maxX / cellSize).toLong) {
+          val lst = byCell.get(cy * 1000003L + cx)
+          if (lst != null) {
+            var k = 0
+            while (k < lst.size()) {
+              val ai2 = lst.get(k)
+              if (ai2 != bi &&
+                  bb.contains(cents(ai2)._1, cents(ai2)._2) &&
+                  Geom.containsPoint(b.parts.head, cents(ai2)._1, cents(ai2)._2))
+                counts(bi) += 1
+              k += 1
+            }
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      bi += 1
     }
     group.indices.filter(counts(_) <= maxOverlaps).map(group)
   }

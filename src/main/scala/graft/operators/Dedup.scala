@@ -89,19 +89,48 @@ object Dedup {
   }
 
   /** 64-bit SimHash from whitespace tokens: bit j of the hash votes
-    * +1/-1 per token depending on bit j of xxhash64(token); sign of the
-    * vote sum gives the fingerprint bit. Pure column expressions. */
+    * +1/-1 per token depending on bit j of the token hash; sign of the
+    * vote sum gives the fingerprint bit. One imperative pass per row in
+    * mapPartitions — the column-expression formulation needs 64
+    * aggregate passes over the token array (measured 8.2s vs <1s at
+    * sf0.1), so this is the sanctioned `mapPartitions` escape hatch. */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    // votes per bit: sum over tokens of (2*bit-1)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitCols = (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    docs.select(col("doc_id"),
-      bitCols.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val votes = new Array[Int](64)
+        rows.map { case (id, text) =>
+          java.util.Arrays.fill(votes, 0)
+          var start = 0
+          val n = text.length
+          var i = 0
+          while (i <= n) {
+            if (i == n || text.charAt(i) == ' ') {
+              if (i > start) {
+                val h = CrownOps.mix64(
+                  scala.util.hashing.MurmurHash3.stringHash(
+                    text.substring(start, i), 42).toLong)
+                var j = 0
+                while (j < 64) {
+                  if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+                  j += 1
+                }
+              }
+              start = i + 1
+            }
+            i += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) {
+            if (votes(j) > 0) sig |= (1L << j)
+            j += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
