@@ -28,6 +28,7 @@ object CrownJob {
 
   val StageCrowns = "crowns"
   val StageMerged = "merged"
+  val StageStats = "stats"
 
   /** Synthesis stage: pending regions only. `failAfterRegions` (tests)
     * truncates the processed set to simulate a crash after k regions. */
@@ -67,9 +68,31 @@ object CrownJob {
     IcebergLite.commit(spark, conf.warehouse, StageMerged, merged, "region")
   }
 
+  /** Stats stage (A5 analytics surface over the merged output): per
+    * (region, class) crown counts, score stats, and area totals —
+    * committed with lineage like every other stage. */
+  def runStats(spark: SparkSession, conf: Conf): Long = {
+    val merged = IcebergLite.read(spark, conf.warehouse, StageMerged)
+      .getOrElse(return -1L)
+    val pending = IcebergLite.committedKeys(spark, conf.warehouse, StageStats) match {
+      case Some(done) => merged.join(done.withColumnRenamed("unitKey", "region"),
+        Seq("region"), "left_anti")
+      case None => merged
+    }
+    if (pending.isEmpty) return -1L
+    val stats = pending.groupBy(col("region"), col("classIdx"))
+      .agg(count(lit(1)).as("n_crowns"),
+        sum(col("area")).as("total_area"),
+        avg(col("score")).as("mean_score"),
+        max(col("score")).as("max_score"),
+        sum(size(col("memberIds"))).as("n_members"))
+    IcebergLite.commit(spark, conf.warehouse, StageStats, stats, "region")
+  }
+
   def run(spark: SparkSession, conf: Conf): Unit = {
     runSynth(spark, conf)
     runMerge(spark, conf)
+    runStats(spark, conf)
   }
 
   def mergedResult(spark: SparkSession, warehouse: String): Option[DataFrame] =

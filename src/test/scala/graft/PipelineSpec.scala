@@ -54,6 +54,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(dKeys === gKeys)
   }
 
+  test("driver smoke gate: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("stats stage: per-region aggregates committed with lineage") {
+    val wh = java.nio.file.Files.createTempDirectory("wh_stats").toString
+    CrownJob.run(spark, CrownJob.Conf(2 * GeoOps.PagesPerRegion, wh))
+    val stats = IcebergLite.read(spark, wh, CrownJob.StageStats).get.collect()
+    assert(stats.length === 4) // 2 regions x 2 classes
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_crowns") > 0 && r.getAs[Double]("total_area") > 0)
+    }
+    assert(IcebergLite.committedKeys(spark, wh, CrownJob.StageStats).get.count() === 2)
+  }
+
   test("fused nmsMerge equals nms-then-merge") {
     val ds = crownsFor(2000)
     val sep = CrownOps.merge(spark, CrownOps.nms(spark, ds, 0.7), 0.3, 0.5).collect()
