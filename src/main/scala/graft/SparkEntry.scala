@@ -123,6 +123,16 @@ object SparkEntry {
           unix_timestamp(col("warc_ts")).as("warc_epoch"))
     }),
 
+    // --- text extraction from the html BINARY column: the per-row
+    // invariant ("byte-identical extracted text per url") exercised
+    // through the binary payload itself, not just the text column.
+    "pages_extract" -> ((s, dir) => {
+      PagesGen.pagesFor(s, dir)
+        .select(col("i"), col("url"),
+          decode(col("html"), "utf-8").as("extracted"),
+          (decode(col("html"), "utf-8") === col("text")).as("matches_text"))
+    }),
+
     // --- geocode + cell index (P-family + CellEncode): per-cell page
     // counts at level 8 (8-px cells). The Spark side goes through the
     // Morton cell_encode expression and decodes (ix, iy) back out, so
@@ -197,6 +207,12 @@ object SparkEntry {
     // --- similarity search over embeddings
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(s.read.parquet(t(dir, "embeddings")), nQueries = 20, k = 10)),
+    "sim_cosine_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(t(dir, "embeddings")),
+        nQueries = 20, topK = 10, k = 16, nProbe = 6)),
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(s.read.parquet(t(dir, "embeddings")), k = 10)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))),
     "sim_cosine_topk_lsh" -> ((s, dir) =>
       Similarity.cosineTopKLsh(s.read.parquet(t(dir, "embeddings")), nQueries = 20, k = 10, nPlanes = 48, bandBits = 4)),
 
@@ -207,6 +223,12 @@ object SparkEntry {
       TextOps.langId(s.read.parquet(t(dir, "documents")))
         .groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(t(dir, "documents")))),
+
+    // --- composed corpus cleaner (quality → langid → dedup → near-dup)
+    "corpus_clean" -> ((s, dir) =>
+      operators.TrainingPipeline.cleanCorpus(
+        s.read.parquet(t(dir, "documents")), minTokens = 5, nearDupThrMilli = 800)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"))),
 
     // --- multimodal plumbing (stub codec; Spark-side shapes real)
     "mm_features" -> ((s, dir) =>
@@ -298,6 +320,9 @@ object SparkEntry {
       s"""$pagesCte
          |SELECT i, url, lang, text, CAST(epoch(warc_ts) AS BIGINT) AS warc_epoch
          |FROM pages""".stripMargin,
+    "pages_extract" ->
+      s"""$pagesCte
+         |SELECT i, url, text AS extracted, true AS matches_text FROM pages""".stripMargin,
     "geo_cell_agg" ->
       s"""$pagesCte
          |SELECT i // 6000 AS region,

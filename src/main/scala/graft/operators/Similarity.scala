@@ -93,6 +93,92 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
   }
 
+  /** Deterministic Lloyd k-means over the embedding column (the IVF
+    * coarse quantizer): centroids init = the first k vectors (stable),
+    * `iters` assign/update rounds. Centroids are tiny (k × dim) so the
+    * update side collects to the driver and re-broadcasts — the
+    * standard Spark k-means shape. Returns (vec_id, cluster). */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Double]] = emb
+      .filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def assignUdf(cents: Array[Array[Double]]) = udf((e: Seq[Float]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        val cent = cents(c)
+        while (i < cent.length) {
+          val diff = e(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      val dim = centroids(0).length
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .collect()
+      val next = centroids.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+      it += 1
+    }
+    emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** IVF top-k: k-means coarse quantizer; each query probes its
+    * `nProbe` nearest clusters (by centroid distance) and exact-ranks
+    * only those clusters' vectors — the inverted-file ANN scale path
+    * (complement to the LSH variant). */
+  def ivfTopK(emb: DataFrame, nQueries: Int, topK: Int,
+              k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val clusters = kmeansAssign(emb, k, iters)
+    val withCluster = emb.join(clusters, Seq("vec_id"))
+    // centroids for probe selection
+    val cents = withCluster
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("v"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val centArr = cents.toSeq.sortBy(_._1).map(_._2.toArray).toArray
+    val probeUdf = udf((e: Seq[Float]) => {
+      centArr.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < centArr(c).length) {
+          val diff = e(i) - centArr(c)(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val base = withCluster.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), col("cluster"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(probeUdf(col("embedding"))).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    base.join(broadcast(q), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ thrMicro/1e6) via LSH
     * candidates — the embedding flavor of the dedup suite. */
   def cosineNearDupPairs(emb: DataFrame, thrMicro: Long = 950000L,

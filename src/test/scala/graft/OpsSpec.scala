@@ -90,11 +90,41 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("IVF top-k: k-means buckets, recall vs brute force, exact scores") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clusters = Similarity.kmeansAssign(emb, k = 10)
+    assert(clusters.count() === emb.count())
+    assert(clusters.select("cluster").distinct().count() > 1)
+    // determinism
+    val again = Similarity.kmeansAssign(emb, k = 10)
+    assert(clusters.collect().map(_.toString()).sorted
+      .sameElements(again.collect().map(_.toString()).sorted))
+    val exact = Similarity.cosineTopK(emb, 10, 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 10, 10, k = 10, nProbe = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, thrMicro = 300000L)
       .as[(Long, Long, Long)].collect()
     pairs.foreach { case (a, b, c) => assert(a < b && c >= 300000L) }
+  }
+
+  test("corpus cleaner: drops planted exact + near duplicates, keeps bases") {
+    val cleaned = graft.operators.TrainingPipeline
+      .cleanCorpus(docs, minTokens = 5, nearDupThrMilli = 700)
+      .select("doc_id").as[Long].collect().toSet
+    // all 60 base docs survive
+    (0L until 60L).foreach(i => assert(cleaned.contains(i), s"base $i dropped"))
+    // all 20 exact dups (200..219) removed (keeper = lower id)
+    (200L until 220L).foreach(i => assert(!cleaned.contains(i), s"exact dup $i kept"))
+    // most planted near-dups (100..119) removed by LSH
+    val nearKept = (100L until 120L).count(cleaned.contains)
+    assert(nearKept <= 4, s"too many near-dups kept: $nearKept")
   }
 
   test("language id classifies known-language samples") {
