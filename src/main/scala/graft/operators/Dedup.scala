@@ -20,7 +20,10 @@ object Dedup {
   /** Distinct word-n-gram shingles per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    docs.select(col("doc_id"),
+    // docs with fewer than n tokens have no shingles (and sequence(0,
+    // size-n) would descend into negative slice indices and throw)
+    docs.filter(size(toks) >= n)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
       .distinct()
@@ -134,14 +137,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
-    * by the 4×16-bit chunk pigeonhole: any pair within distance ≤ 3
-    * shares at least one exact 16-bit chunk → candidate equi-join on
-    * (chunk index, chunk value), verified by popcount. */
+    * by the pigeonhole principle: split the 64 bits into maxHamming+1
+    * chunks — any pair within distance ≤ maxHamming must agree exactly
+    * on at least one chunk → candidate equi-join on (chunk index,
+    * chunk value), verified by popcount. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => 64 * c / nChunks)
     val sh = simhash(docs)
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map { c =>
+        val lo = bounds(c); val width = bounds(c + 1) - lo
+        shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
+      }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
     chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.v") === col("r.v") &&

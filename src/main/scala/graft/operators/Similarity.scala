@@ -153,7 +153,11 @@ object Similarity {
       .map { case (c, rows) =>
         c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
-    val centArr = cents.toSeq.sortBy(_._1).map(_._2.toArray).toArray
+    // index centArr BY CLUSTER ID; empty clusters (possible with seeded
+    // init) get an unreachable sentinel so probes never select them
+    val dim = 64
+    val far = Array.fill(dim)(1e18)
+    val centArr = Array.tabulate(k)(c => cents.get(c).map(_.toArray).getOrElse(far))
     val probeUdf = udf((e: Seq[Float]) => {
       centArr.indices.map { c =>
         var d = 0.0; var i = 0

@@ -26,9 +26,12 @@ object TextOps {
     * (ties → lexicographically first language), 'und' when no hit. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(lower(col(textCol)), "[\\s\\p{Punct}]+")
-    val scored = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val langs = Profiles.toSeq.sortBy(_._1)
+    // prio descends with lexicographic rank so the descending struct
+    // sort breaks score ties by FIRST language alphabetically
+    val scored = langs.zipWithIndex.map { case ((lang, words), idx) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
-        lit(lang).as("lang"))
+        lit(langs.size - idx).as("prio"), lit(lang).as("lang"))
     }
     docs.withColumn("pred_lang",
       when(sort_array(array(scored: _*), asc = false)(0)("score") > 0,

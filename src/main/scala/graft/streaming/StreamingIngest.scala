@@ -42,7 +42,10 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           val assigned = GeoOps.assignTiles(batch)
             .select(col("i"), col("region"), col("tile_id"), col("x"), col("y"))
-          IcebergLite.commit(spark, warehouse, "stream_assign", assigned, "region")
+          // batchId as idempotency key: replay after a crash between
+          // manifest rename and checkpoint write is a no-op
+          IcebergLite.commit(spark, warehouse, "stream_assign", assigned,
+            "region", idempotencyKey = batchId)
           ()
         }
       }

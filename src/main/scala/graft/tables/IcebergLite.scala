@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object IcebergLite {
 
-  final case class Snapshot(id: Long, stage: String, rowCount: Long, wallMs: Long)
+  /** `key` = caller-supplied idempotency key (e.g. streaming batch id);
+    * -1 when unused. */
+  final case class Snapshot(id: Long, stage: String, rowCount: Long, wallMs: Long,
+                            key: Long = -1L)
 
   /** Lineage grain: one row per (work unit, spark partition). */
   final case class LineageRow(stage: String, snapshotId: Long, unitKey: Long,
@@ -48,16 +51,17 @@ object IcebergLite {
   // tiny hand-rolled JSON (flat schema, no deps)
   private def renderManifest(snaps: Seq[Snapshot]): String =
     snaps.map(s =>
-      s"""{"id":${s.id},"stage":"${s.stage}","rowCount":${s.rowCount},"wallMs":${s.wallMs}}""")
+      s"""{"id":${s.id},"stage":"${s.stage}","rowCount":${s.rowCount},"wallMs":${s.wallMs},"key":${s.key}}""")
       .mkString("{\"snapshots\":[", ",", "]}")
 
   def snapshots(root: String): Seq[Snapshot] = {
     val p = manifestPath(root)
     if (!Files.exists(p)) return Seq.empty
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    val re = """\{"id":(\d+),"stage":"([^"]*)","rowCount":(\d+),"wallMs":(\d+)\}""".r
+    val re = """\{"id":(\d+),"stage":"([^"]*)","rowCount":(\d+),"wallMs":(\d+)(?:,"key":(-?\d+))?\}""".r
     re.findAllMatchIn(txt).map(m =>
-      Snapshot(m.group(1).toLong, m.group(2), m.group(3).toLong, m.group(4).toLong)).toSeq
+      Snapshot(m.group(1).toLong, m.group(2), m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L))).toSeq
   }
 
   private def writeManifest(root: String, snaps: Seq[Snapshot]): Unit = {
@@ -72,9 +76,15 @@ object IcebergLite {
     * partition) lineage metrics. `unitKeyCol` is the resume granularity
     * (e.g. region id, tile id). Returns the snapshot id. */
   def commit(spark: SparkSession, root: String, stage: String, df: DataFrame,
-             unitKeyCol: String): Long = {
+             unitKeyCol: String, idempotencyKey: Long = -1L): Long = {
     val t0 = System.nanoTime()
     val prev = snapshots(root)
+    // idempotent re-commit (e.g. streaming micro-batch replay after a
+    // crash between manifest rename and checkpoint write): the same
+    // (stage, key) is already visible -> no-op
+    if (idempotencyKey >= 0)
+      prev.find(s => s.stage == stage && s.key == idempotencyKey)
+        .foreach(s => return s.id)
     val snapId = prev.map(_.id).maxOption.getOrElse(0L) + 1
     val dataDir = s"$root/data/$stage/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
@@ -93,7 +103,7 @@ object IcebergLite {
 
     val rowCount = written.count()
     writeManifest(root, prev :+ Snapshot(snapId, stage,
-      rowCount, (System.nanoTime() - t0) / 1000000))
+      rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey))
     snapId
   }
 
