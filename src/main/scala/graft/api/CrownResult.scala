@@ -1,0 +1,131 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.geom.Geom
+import graft.operators.{CrownOps, GeoOps, RasterOps}
+import graft.tables.{FixtureIO, PagesGen}
+
+/** The interactive query surface over a pipeline run — the engine's
+  * `ProcessedResult` (reference result/processedresult.py:19-171,
+  * result/instancesegmentationresult.py:113-604): `getTrees`,
+  * `canopyCover`/`treeCover`, `setThreshold`, `setRoi`, `serialise`.
+  * Immutable: the set*ers return new views; every verb is a short
+  * DataFrame plan over the merged-crown table + confidence mosaic, so
+  * the whole surface is lazy and cluster-scale.
+  *
+  * @param merged     merged crown table (CrownOps.MergedCrown schema)
+  * @param mosaic     per-class confidence mosaic tiles
+  * @param threshold  score threshold (reference confidence_threshold)
+  * @param roi        optional region-of-interest polygon (flat coords,
+  *                   region-local) — filters instances and masks pixels
+  *                   (result/processedresult.py:77-104 set_roi)
+  */
+final case class CrownResult(
+    spark: SparkSession,
+    merged: DataFrame,
+    mosaic: Dataset[RasterOps.ConfTile],
+    threshold: Double = 0.2,
+    roi: Option[Array[Double]] = None) {
+
+  def setThreshold(t: Double): CrownResult = copy(threshold = t)
+
+  def setRoi(poly: Array[Double]): CrownResult = copy(roi = Some(poly))
+
+  private def roiFiltered(df: DataFrame): DataFrame = roi match {
+    case None => df
+    case Some(p) =>
+      val bb = Geom.BBox.ofPolygon(p)
+      // bbox prefilter + exact polygon-overlap residual on the crown
+      // centroid (instances whose center falls inside the ROI —
+      // _filter_roi keeps intersecting instances; centroid containment
+      // is the deterministic variant used here)
+      df.filter(col("maxX") >= bb.minX && col("minX") <= bb.maxX &&
+          col("maxY") >= bb.minY && col("minY") <= bb.maxY)
+        .filter(st_contains_point(typedlit(p),
+          (col("minX") + col("maxX")) / 2, (col("minY") + col("maxY")) / 2))
+  }
+
+  /** Instances of the TREE class above the threshold
+    * (instancesegmentationresult.py:239-260 get_trees). */
+  def getTrees: DataFrame =
+    roiFiltered(merged.filter(col("classIdx") === CrownOps.ClassTree &&
+      col("score") > threshold))
+
+  /** All instances above threshold (any class). */
+  def instances: DataFrame = roiFiltered(merged.filter(col("score") > threshold))
+
+  /** Fraction (ppm) of valid pixels with class confidence above the
+    * threshold (processedresult.py:109-118 canopy_cover/tree_cover).
+    * With an ROI set, valid pixels = pixels inside the ROI polygon. */
+  def cover(classIdx: Int): DataFrame = {
+    import spark.implicits._
+    val thr255 = math.round(threshold * 255).toInt
+    val roiPoly = roi
+    val stats = mosaic.filter(_.classIdx == classIdx).map { t =>
+      val valid: Array[Byte] = roiPoly match {
+        case None => null
+        case Some(p) =>
+          val local = Geom.affine(p, 1.0 / t.gsd, 0, 0, 1.0 / t.gsd,
+            -t.minX.toDouble / t.gsd, -t.minY.toDouble / t.gsd)
+          graft.geom.Raster.rasterize(local, t.rows, t.cols)
+      }
+      var nz = 0L; var nValid = 0L
+      var i = 0
+      while (i < t.data.length) {
+        if (valid == null || valid(i) != 0) {
+          nValid += 1
+          if ((t.data(i) & 0xff) > thr255) nz += 1
+        }
+        i += 1
+      }
+      (t.region, nz, nValid)
+    }.toDF("region", "nz", "valid")
+    stats.groupBy(col("region"))
+      .agg(floor(lit(1000000) * sum(col("nz")) / greatest(sum(col("valid")), lit(1)))
+        .cast("long").as("cover_ppm"),
+        sum(col("nz")).as("covered_px"), sum(col("valid")).as("valid_px"))
+  }
+
+  def canopyCover: DataFrame = cover(CrownOps.ClassCanopy)
+  def treeCover: DataFrame = cover(CrownOps.ClassTree)
+
+  /** Serialize to the canonical fixture formats (merged crowns JSONL +
+    * coverage JSON) — instancesegmentationresult.py:383-423 serialise. */
+  def serialise(outDir: String): Unit = {
+    import spark.implicits._
+    val crowns = instances.as[CrownOps.MergedCrown].collect().toSeq
+    FixtureIO.writeMergedFixture(s"$outDir/instances.jsonl", crowns)
+    val cov = canopyCover.orderBy("region").collect()
+      .map(r => s"""{"region":${r.getLong(0)},"cover_ppm":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/coverage.json"),
+      cov.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+/** The `Pipeline(...).predict(...)` analogue (reference pipeline.py +
+  * docs/prediction.md:146-157): one call runs geocode → tile-assign →
+  * synthesis → fused NMS+merge → mosaic and returns the interactive
+  * result surface. */
+object GraftPipeline {
+
+  final case class Conf(nmsIou: Double = 0.7, confThr: Double = 0.3,
+                        mergeIou: Double = 0.5, gsd: Int = 8)
+
+  def predict(spark: SparkSession, pages: DataFrame,
+              conf: Conf = Conf()): CrownResult = {
+    val assigned = GeoOps.assignTiles(pages)
+    val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+    val merged = CrownOps.nmsMerge(spark, crowns, conf.nmsIou, conf.confThr, conf.mergeIou)
+    val mosaic = RasterOps.mosaic(spark,
+      RasterOps.confidenceTiles(spark, crowns, GeoOps.TileGrid.Default, conf.gsd),
+      GeoOps.TileGrid.Default)
+    CrownResult(spark, merged.toDF(), mosaic, threshold = conf.confThr)
+  }
+
+  def predictPages(spark: SparkSession, nPages: Long): CrownResult =
+    predict(spark, PagesGen.pages(spark, nPages))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{CrownResult, GraftPipeline}
+import graft.operators.CrownOps
+
+/** The interactive result surface — ports the reference ROI test
+  * (tests/unit/test_post_processing.py:54-85: shrink bounds to the
+  * center 50%, valid pixels match the ROI area exactly, tree count
+  * strictly drops) and the threshold/serialise verbs. */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val result: CrownResult = GraftPipeline.predictPages(spark, 3000)
+
+  test("predict returns trees and instances above threshold") {
+    val all = result.instances.count()
+    val trees = result.getTrees.count()
+    assert(all > 0 && trees > 0 && trees < all)
+    // raising the threshold strictly reduces the set
+    val strict = result.setThreshold(0.8)
+    assert(strict.getTrees.count() < trees)
+  }
+
+  test("ROI center-50% filter: tree count strictly drops, valid px = ROI area") {
+    val roi = Array(512.0, 512.0, 1536.0, 512.0, 1536.0, 1536.0, 512.0, 1536.0)
+    val withRoi = result.setRoi(roi)
+    val before = result.getTrees.count()
+    val after = withRoi.getTrees.count()
+    assert(after > 0 && after < before)
+    // all surviving crowns center inside the ROI
+    withRoi.getTrees.collect().foreach { r =>
+      val cx = (r.getAs[Double]("minX") + r.getAs[Double]("maxX")) / 2
+      val cy = (r.getAs[Double]("minY") + r.getAs[Double]("maxY")) / 2
+      assert(cx >= 512 && cx <= 1536 && cy >= 512 && cy <= 1536)
+    }
+    // valid pixel count equals the rasterized ROI area exactly
+    // (1024x1024 px at gsd 8 → 128x128 cells)
+    val cov = withRoi.canopyCover.collect()
+    assert(cov.map(_.getAs[Long]("valid_px")).sum === 128L * 128L)
+    // and coverage within ROI differs from full-extent total pixels
+    val full = result.canopyCover.collect()
+    assert(full.map(_.getAs[Long]("valid_px")).sum === 256L * 256L)
+  }
+
+  test("serialise writes canonical fixtures") {
+    val dir = java.nio.file.Files.createTempDirectory("crownres").toString
+    result.serialise(dir)
+    val lines = graft.tables.FixtureIO.readFixtureLines(s"$dir/instances.jsonl")
+    assert(lines.nonEmpty && lines.forall(_.startsWith("{\"region\":")))
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/coverage.json")))
+    assert(cov.startsWith("[{\"region\":0,"))
+  }
+}
