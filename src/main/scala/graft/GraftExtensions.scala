@@ -25,23 +25,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def dbl(e: Expression): Double =
-    e.asInstanceOf[Literal].value.toString.toDouble
+  private def constOf(fn: String, pos: Int, e: Expression): Any = e match {
+    case l: Literal => l.value
+    case f if f.foldable => f.eval(null)
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a constant, got ${other.sql}")
+  }
 
-  private def int(e: Expression): Int =
-    e.asInstanceOf[Literal].value.toString.toDouble.toInt
+  private def dbl(fn: String, pos: Int, e: Expression): Double =
+    constOf(fn, pos, e).toString.toDouble
+
+  private def int(fn: String, pos: Int, e: Expression): Int =
+    constOf(fn, pos, e).toString.toDouble.toInt
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cell_encode" -> ((args: Seq[Expression]) =>
-      CellEncode(args(0), args(1), int(args(2)), dbl(args(3)), dbl(args(4)))),
+      CellEncode(args(0), args(1), int("cell_encode", 2, args(2)),
+        dbl("cell_encode", 3, args(3)), dbl("cell_encode", 4, args(4)))),
     "st_contains_point" -> ((args: Seq[Expression]) =>
       STContainsPoint(args(0), args(1), args(2))),
     "st_intersects" -> ((args: Seq[Expression]) => STIntersects(args(0), args(1))),
     "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
     "st_centroid" -> ((args: Seq[Expression]) => STCentroid(args(0))),
-    "st_simplify" -> ((args: Seq[Expression]) => STSimplify(args(0), dbl(args(1)))),
-    "st_affine" -> ((args: Seq[Expression]) => STAffine(args(0), dbl(args(1)),
-      dbl(args(2)), dbl(args(3)), dbl(args(4)), dbl(args(5)), dbl(args(6)))),
+    "st_simplify" -> ((args: Seq[Expression]) =>
+      STSimplify(args(0), dbl("st_simplify", 1, args(1)))),
+    "st_affine" -> ((args: Seq[Expression]) => STAffine(args(0),
+      dbl("st_affine", 1, args(1)), dbl("st_affine", 2, args(2)),
+      dbl("st_affine", 3, args(3)), dbl("st_affine", 4, args(4)),
+      dbl("st_affine", 5, args(5)), dbl("st_affine", 6, args(6)))),
     "poly_iou" -> ((args: Seq[Expression]) => PolyIoU(args(0), args(1))),
     "poly_rle" -> ((args: Seq[Expression]) => PolyRLE(args(0))))
 

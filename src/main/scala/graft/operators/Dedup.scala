@@ -104,7 +104,8 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val votes = new Array[Int](64)
-        rows.map { case (id, text) =>
+        rows.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0 // null-safe like the ops suite
           java.util.Arrays.fill(votes, 0)
           var start = 0
           val n = text.length
@@ -148,7 +149,10 @@ object Dedup {
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val lo = bounds(c); val width = bounds(c + 1) - lo
-        shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
+        // width == 64 (maxHamming = 0): (1L << 64) wraps to 1 in Java;
+        // full-width chunk mask is all-ones
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        shiftright(col("simhash"), lo).bitwiseAND(mask)
       }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
     chunked.as("l").join(chunked.as("r"),

@@ -98,12 +98,20 @@ object Similarity {
     * `iters` assign/update rounds. Centroids are tiny (k × dim) so the
     * update side collects to the driver and re-broadcasts — the
     * standard Spark k-means shape. Returns (vec_id, cluster). */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 5): DataFrame =
+    kmeansWithCentroids(emb, k, iters)._1
+
+  /** k-means returning both assignments and the final centroids (reused
+    * by ivfTopK for probe selection — no recomputation). */
+  def kmeansWithCentroids(emb: DataFrame, k: Int,
+                          iters: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    // seed from the first k rows BY ORDER (ids need not be 0-based or
+    // contiguous)
     var centroids: Array[Array[Double]] = emb
-      .filter(col("vec_id") < k).orderBy("vec_id")
+      .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, "kmeans needs a non-empty embedding table")
     def assignUdf(cents: Array[Array[Double]]) = udf((e: Seq[Float]) => {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -121,7 +129,6 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
-      val dim = centroids(0).length
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
@@ -132,8 +139,8 @@ object Similarity {
       centroids = next
       it += 1
     }
-    emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
-      .select(col("vec_id"), col("cluster"))
+    (emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      .select(col("vec_id"), col("cluster")), centroids)
   }
 
   /** IVF top-k: k-means coarse quantizer; each query probes its
@@ -142,22 +149,8 @@ object Similarity {
     * (complement to the LSH variant). */
   def ivfTopK(emb: DataFrame, nQueries: Int, topK: Int,
               k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    val clusters = kmeansAssign(emb, k, iters)
+    val (clusters, centArr) = kmeansWithCentroids(emb, k, iters)
     val withCluster = emb.join(clusters, Seq("vec_id"))
-    // centroids for probe selection
-    val cents = withCluster
-      .select(col("cluster"), posexplode(col("embedding")))
-      .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("v"))
-      .collect().groupBy(_.getInt(0))
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }
-    // index centArr BY CLUSTER ID; empty clusters (possible with seeded
-    // init) get an unreachable sentinel so probes never select them
-    val dim = 64
-    val far = Array.fill(dim)(1e18)
-    val centArr = Array.tabulate(k)(c => cents.get(c).map(_.toArray).getOrElse(far))
     val probeUdf = udf((e: Seq[Float]) => {
       centArr.indices.map { c =>
         var d = 0.0; var i = 0

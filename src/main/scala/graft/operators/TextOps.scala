@@ -38,19 +38,24 @@ object TextOps {
         sort_array(array(scored: _*), asc = false)(0)("lang")).otherwise("und"))
   }
 
-  /** Quality statistics (integer-valued → oracle-exact):
+  /** Quality statistic columns (integer-valued → oracle-exact):
     * n_tokens, n_uniq_tokens, total_token_chars, n_punct, n_stopwords.
-    * Downstream quality scores are ratios of these. */
-  def qualityStats(docs: DataFrame): DataFrame = {
+    * Exposed as named columns so callers can annotate in place (one
+    * narrow pass, no join). */
+  def qualityColumns: Seq[(String, Column)] = {
     val toks = split(col("text"), " ")
     val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-    docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
-      (length(col("text")) - (size(toks) - 1)).cast("long").as("total_token_chars"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[,.!?;:]", ""))).cast("long").as("n_punct"),
-      size(filter(toks, t => t.isin(stop: _*))).cast("long").as("n_stopwords"))
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "n_uniq_tokens" -> size(array_distinct(toks)).cast("long"),
+      "total_token_chars" -> (length(col("text")) - (size(toks) - 1)).cast("long"),
+      "n_punct" -> (length(col("text")) -
+        length(regexp_replace(col("text"), "[,.!?;:]", ""))).cast("long"),
+      "n_stopwords" -> size(filter(toks, t => t.isin(stop: _*))).cast("long"))
   }
+
+  def qualityStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: qualityColumns.map { case (n, c) => c.as(n) }: _*)
 
   /** BPE-ish token count: alnum runs + each non-alnum non-space char
     * counts as one token (regexp_extract_all — same regex class in

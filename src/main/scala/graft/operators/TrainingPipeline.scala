@@ -16,16 +16,14 @@ object TrainingPipeline {
 
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
                   nearDupThrMilli: Int = 800): DataFrame = {
-    // 1. quality + language annotation, low-quality rejection
-    val annotated = TextOps.langId(docs)
-      .join(TextOps.qualityStats(docs), Seq("doc_id"))
+    // 1. quality + language annotation in ONE narrow pass (no join)
+    val annotated = TextOps.qualityColumns
+      .foldLeft(TextOps.langId(docs)) { case (df, (n, c)) => df.withColumn(n, c) }
       .filter(col("n_tokens") >= minTokens && col("n_uniq_tokens") >= 2)
 
-    // 2. exact dedup: keep the minimum doc_id per content hash
-    val keepers = annotated
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+    // 2. exact dedup: keep the minimum doc_id per content hash (the
+    // dedup suite's keeper policy — Dedup.exact)
+    val keepers = Dedup.exact(annotated).select(col("keeper").as("doc_id"))
     val exactDeduped = annotated.join(keepers, Seq("doc_id"), "left_semi")
 
     // 3. near-dup removal: drop the b side of every MinHash-LSH pair
