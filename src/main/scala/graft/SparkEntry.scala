@@ -239,12 +239,12 @@ object SparkEntry {
       Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
         .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
 
-    // --- grid kNN (the 100-TB candidate-pruned path; rows-only — ring
-    // candidates make it approximate at cell boundaries)
+    // --- grid kNN (the 100-TB candidate-pruned path): the two-phase
+    // adaptive-ring variant is provably exact, so it gets an oracle.
     "geo_knn_grid" -> ((s, dir) => {
       val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
         .filter(col("region") === 0).select(col("i"), col("x"), col("y"))
-      GeoOps.knnGrid(pages, k = 5).withColumn("rank", col("rank").cast("long"))
+      GeoOps.knnGridExact(pages, k = 5).withColumn("rank", col("rank").cast("long"))
     }),
 
     // --- per-tile detection cap (W4)
@@ -370,6 +370,24 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY (x - qx) * (x - qx) + (y - qy) * (y - qy), pts.i) AS rnk
          |  FROM pts JOIN q ON pts.i <> query_id)
+         |WHERE rnk <= 5""".stripMargin,
+    "geo_knn_grid" ->
+      s"""$pagesCte, pts AS (SELECT i, x, y FROM pages WHERE i < 6000)
+         |SELECT query_id, rnk AS rank, nbr_id, dist2 FROM (
+         |  SELECT q.i AS query_id, pts.i AS nbr_id,
+         |    (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y) AS dist2,
+         |    row_number() OVER (PARTITION BY q.i
+         |      ORDER BY (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y), pts.i) AS rnk
+         |  FROM pts JOIN pts q ON pts.i <> q.i)
+         |WHERE rnk <= 5""".stripMargin,
+    "geo_knn_grid" ->
+      s"""$pagesCte, pts AS (SELECT i, x, y FROM pages WHERE i < 6000)
+         |SELECT query_id, rnk AS rank, nbr_id, dist2 FROM (
+         |  SELECT q.i AS query_id, pts.i AS nbr_id,
+         |    (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y) AS dist2,
+         |    row_number() OVER (PARTITION BY q.i
+         |      ORDER BY (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y), pts.i) AS rnk
+         |  FROM pts JOIN pts q ON pts.i <> q.i)
          |WHERE rnk <= 5""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY 1",

@@ -123,12 +123,67 @@ object GeoOps {
       .agg(sum(col("partial")).as("cnt"))
   }
 
+  /** EXACT grid kNN with adaptive ring expansion: phase 1 runs the
+    * ring-1 candidate join; a query's result is provably exact when its
+    * kth-candidate distance is no greater than its guaranteed covered
+    * radius (distance from the query point to the edge of the 3×3 cell
+    * block). Queries that fail the guarantee (or found < k candidates)
+    * re-run in phase 2 with a per-query ring sized to the needed
+    * radius. Both phases are cell equi-joins; the expansion set is
+    * tiny for sane densities, so the common case stays one shuffle. */
+  def knnGridExact(points: DataFrame, k: Int, level: Int = 5): DataFrame = {
+    val cellSize = TileGrid.ExtentX / (1L << level)
+    val phase1 = knnGrid(points, k, level)
+    val cellOf = cell_encode(col("x"), col("y"), level, TileGrid.ExtentX, TileGrid.ExtentY)
+    val pts = points.select(col("i"), col("x"), col("y")).withColumn("cell", cellOf)
+    // guaranteed covered radius of the 3x3 block around the query
+    val coveredR = {
+      val lx = col("qx") - (floor(col("qx") / cellSize) - 1) * cellSize
+      val rx = (floor(col("qx") / cellSize) + 2) * cellSize - col("qx")
+      val ly = col("qy") - (floor(col("qy") / cellSize) - 1) * cellSize
+      val ry = (floor(col("qy") / cellSize) + 2) * cellSize - col("qy")
+      least(lx, rx, ly, ry)
+    }
+    val perQuery = phase1.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("found"), max(col("dist2")).as("kth_d2"))
+    val queriesAll = pts.select(col("i").as("query_id"), col("x").as("qx"),
+      col("y").as("qy"), col("cell"))
+    val flagged = queriesAll.join(perQuery, Seq("query_id"), "left")
+      .withColumn("covered_r", coveredR)
+      .filter(col("found").isNull || col("found") < k ||
+        sqrt(col("kth_d2")) >= col("covered_r")) // >= : ties at the block edge
+      // found < k: the kth distance UNDERestimates the needed radius
+      // (the missing neighbors are beyond every found one) → full grid
+      // for those rare queries; otherwise ring sized to the kth distance
+      .withColumn("ring",
+        when(col("found").isNull || col("found") < k, lit(1 << level))
+          .otherwise(ceil(sqrt(col("kth_d2")) / cellSize) + 1).cast("int"))
+    if (flagged.isEmpty) return phase1
+    // phase 2: per-query ring of the required radius
+    val ringUdf = udf((cell: Long, r: Int) => CellIndex.neighborhood(cell, r))
+    val q2 = flagged.select(col("query_id"), col("qx"), col("qy"),
+      explode(ringUdf(col("cell"), col("ring"))).as("cell"))
+    val cand = pts.select(col("cell"), col("i").as("nbr_id"),
+      col("x").as("nx"), col("y").as("ny"))
+    val d2 = (col("nx") - col("qx")) * (col("nx") - col("qx")) +
+             (col("ny") - col("qy")) * (col("ny") - col("qy"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("nbr_id"))
+    val phase2 = q2.join(cand, Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("dist2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
+    phase1.join(flagged.select("query_id"), Seq("query_id"), "left_anti")
+      .unionByName(phase2)
+  }
+
   /** Scalable grid kNN (SURVEY.md J8/W3): candidates = neighbor-cell
     * ring at `level` (self equi-join on cell id), then per-query top-k
     * window. Exact whenever the true kth neighbor lies within the ring
-    * radius (ring r=1 at level L covers ≥ one cell width —
-    * 2048/2^L px); callers choose level so that k-distance ≪ cell size.
-    * This is the 100-TB path: shuffle is one equi-join on a bigint. */
+    * radius (see [[knnGridExact]] for the guaranteed-exact two-phase
+    * variant). This is the 100-TB path: shuffle is one equi-join on a
+    * bigint. */
   def knnGrid(points: DataFrame, k: Int, level: Int = 5): DataFrame = {
     val spark = points.sparkSession
     val cellOf = cell_encode(col("x"), col("y"), level, TileGrid.ExtentX, TileGrid.ExtentY)

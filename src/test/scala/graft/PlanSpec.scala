@@ -99,6 +99,28 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getDouble(3) === 400.0 && row.getDouble(4) === 5.0)
   }
 
+  test("knnGridExact equals brute-force kNN on sparse points (ring-1 insufficient)") {
+    import spark.implicits._
+    // 120 points in 2048^2 at level 5 (64-px cells): most cells empty,
+    // so ring-1 misses true neighbors and phase 2 must kick in
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 120).map(i =>
+      (i.toLong, rnd.nextDouble() * 2048, rnd.nextDouble() * 2048))
+      .toDF("i", "x", "y")
+    val exact = GeoOps.knnExact(pts, pts, k = 3)
+      .select("query_id", "rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val grid = GeoOps.knnGridExact(pts, k = 3, level = 5)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().map(t => (t._1, t._2.toLong, t._3)).toSet
+    assert(grid === exact)
+    // and plain ring-1 knnGrid is indeed NOT exact here (sanity that
+    // the test exercises the expansion path)
+    val ring1 = GeoOps.knnGrid(pts, k = 3, level = 5)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().map(t => (t._1, t._2.toLong, t._3)).toSet
+    assert(ring1 !== exact)
+  }
+
   test("q1 aggregate uses partial aggregation (two HashAggregate phases)") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
