@@ -115,6 +115,56 @@ class GeomSpec extends AnyFunSuite {
     }
   }
 
+  test("property: exact convex IoU agrees with independent rasterized IoU") {
+    // two independent implementations (clipping + inclusion-exclusion
+    // vs supersampled masks) must agree — cross-validates both kernels
+    forSamples(Gen.zip(genConvex, genConvex), n = 120) { case (a0, b0) =>
+      if (a0.length >= 6 && b0.length >= 6) {
+        // supersample 4x for mask accuracy
+        val a = Geom.affine(a0, 4, 0, 0, 4, 0, 0)
+        val b = Geom.affine(b0, 4, 0, 0, 4, 0, 0)
+        val exact = Geom.iouConvex(a, b)
+        val bb = BBox.ofPolygon(a).union(BBox.ofPolygon(b))
+        val rows = math.ceil(bb.maxY - bb.minY).toInt + 2
+        val cols = math.ceil(bb.maxX - bb.minX).toInt + 2
+        val ma = Raster.rasterize(Geom.translate(a, -bb.minX, -bb.minY), rows, cols)
+        val mb = Raster.rasterize(Geom.translate(b, -bb.minX, -bb.minY), rows, cols)
+        var inter = 0; var union = 0
+        var i = 0
+        while (i < ma.length) {
+          if (ma(i) != 0 && mb(i) != 0) inter += 1
+          if (ma(i) != 0 || mb(i) != 0) union += 1
+          i += 1
+        }
+        val approx = if (union == 0) 0.0 else inter.toDouble / union
+        assert(math.abs(exact - approx) < 0.05,
+          s"exact $exact vs rasterized $approx")
+      }
+    }
+  }
+
+  test("property: point in clipConvex(a,b) iff in both a and b") {
+    forSamples(Gen.zip(genConvex, genConvex, Gen.choose(100.0, 1900.0),
+      Gen.choose(100.0, 1900.0)), n = 200) { case (a, b, px, py) =>
+      if (a.length >= 6 && b.length >= 6) {
+        val inter = Geom.clipConvex(a, Geom.ccw(b))
+        if (inter.length >= 6) {
+          val inBoth = Geom.containsPoint(a, px, py) && Geom.containsPoint(b, px, py)
+          val inClip = Geom.containsPoint(inter, px, py)
+          // allow boundary fuzz: only assert when the point is clearly
+          // inside/outside (distance to any edge > 0.01 not computed —
+          // mismatches at exact boundaries are acceptable; assert the
+          // strong direction)
+          if (inClip) assert(inBoth || {
+            // point may sit within 1e-9 of a boundary; re-check with jitter
+            Geom.containsPoint(a, px + 1e-7, py + 1e-7) &&
+            Geom.containsPoint(b, px + 1e-7, py + 1e-7)
+          })
+        }
+      }
+    }
+  }
+
   // --- raster kernels
   test("rasterize square: area matches") {
     val mask = Raster.rasterize(unitSquare, 12, 12)
