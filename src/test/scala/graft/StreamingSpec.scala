@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
       graft.operators.GeoOps.assignTiles(PagesGen.pages(spark, 3000)).count())
   }
 
+  test("mapGroupsWithState running cell counts accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val pages = StreamingIngest.pagesFromIndices(mem.toDF())
+    val q = StreamingIngest.runningCellCounts(pages)
+      .toDF("cell", "total", "delta")
+      .writeStream.format("memory").queryName("running_counts")
+      .outputMode("update").start()
+    mem.addData(0L until 500L: _*)
+    q.processAllAvailable()
+    val t1 = spark.sql("SELECT sum(delta) FROM running_counts").head().getLong(0)
+    assert(t1 === 500L)
+    mem.addData(500L until 1000L: _*)
+    q.processAllAvailable()
+    q.stop()
+    // totals are cumulative: the latest total per cell sums to 1000
+    val latest = spark.sql(
+      """SELECT sum(total) FROM (
+        |  SELECT cell, max(total) AS total FROM running_counts GROUP BY cell)""".stripMargin)
+      .head().getLong(0)
+    assert(latest === 1000L)
+    assert(spark.sql("SELECT sum(delta) FROM running_counts").head().getLong(0) === 1000L)
+  }
+
   test("watermarked windowed cell counts aggregate by event time") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
