@@ -111,6 +111,50 @@ object Raster {
     mask
   }
 
+  /** pycocotools compressed-RLE string codec (the `counts` string in
+    * COCO annotations; public format — signed 5-bit LEB128-style groups
+    * offset by 48, runs after the 2nd delta-encoded against the run two
+    * earlier). Decodes/encodes the reference's golden fixture
+    * (tests/unit/5c15321f63d9810007f8b06f_10_00000.json) byte-exactly. */
+  def rleFromCocoString(s: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var p = 0
+    while (p < s.length) {
+      var x = 0L
+      var k = 0
+      var more = true
+      while (more) {
+        val c = s.charAt(p) - 48
+        x |= (c & 0x1fL) << (5 * k)
+        more = (c & 0x20) != 0
+        p += 1
+        k += 1
+        if (!more && (c & 0x10) != 0) x |= -1L << (5 * k)
+      }
+      if (out.size > 2) x += out(out.size - 2)
+      out += x.toInt
+    }
+    out.toArray
+  }
+
+  def rleToCocoString(counts: Array[Int]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < counts.length) {
+      var x: Long = counts(i)
+      if (i > 2) x -= counts(i - 2)
+      var more = true
+      while (more) {
+        val c = (x & 0x1f).toInt
+        x >>= 5
+        more = if ((c & 0x10) != 0) x != -1 else x != 0
+        sb.append(((if (more) c | 0x20 else c) + 48).toChar)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Paste `src` (rows×cols at offset (dr,dc)) into `dst`
     * (dstRows×dstCols) with merge semantics: 0=overwrite, 1=max, 2=min.
     * Mirrors util.py:476-528. */

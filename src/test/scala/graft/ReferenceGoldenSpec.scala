@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Geom, Raster}
+
+/** Parity against the REFERENCE's own golden serialized-geometry
+  * fixture — the 387-instance COCO file from
+  * /root/reference/tests/unit/5c15321f63d9810007f8b06f_10_00000.json
+  * (ported as test data per SURVEY.md §5; written by the reference's
+  * postprocess/processedinstance.py:339-428). Our compressed-RLE codec
+  * must decode every annotation, the decoded masks must be
+  * self-consistent with the fixture's own bbox/size fields, and
+  * re-encoding must reproduce the reference's counts strings
+  * byte-for-byte. */
+class ReferenceGoldenSpec extends AnyFunSuite {
+
+  // minimal JSON walking (the file is well-formed, flat-ish)
+  private lazy val raw = new String(java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("src/test/resources/reference_golden_coco.json")),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  private case class Ann(id: Long, categoryId: Int, score: Double,
+                         bbox: Array[Double], area: Double,
+                         rows: Int, cols: Int, counts: String)
+
+  private lazy val annotations: Seq[Ann] = {
+    val body = raw.substring(raw.indexOf("\"annotations\""))
+    // the reference writes json.dump(indent=1) — whitespace-tolerant
+    val recRe = ("""(?s)\{\s*"id":\s*(\d+),\s*"image_id":\s*\d+,\s*""" +
+      """"category_id":\s*(\d+),\s*"score":\s*([0-9.eE+-]+),\s*""" +
+      """"label":\s*[^,]+,\s*"bbox":\s*\[([^\]]*)\],\s*""" +
+      """"area":\s*([0-9.eE+-]+),\s*"segmentation":\s*\{\s*""" +
+      """"size":\s*\[\s*(\d+),\s*(\d+)\s*\],\s*"counts":\s*"([^"]*)"""").r
+    val out = recRe.findAllMatchIn(body).map { m =>
+      Ann(m.group(1).toLong, m.group(2).toInt, m.group(3).toDouble,
+        m.group(4).split(",").map(_.trim.toDouble), m.group(5).toDouble,
+        m.group(6).toInt, m.group(7).toInt,
+        // RLE chars span ASCII 48..111 which includes backslash (92) —
+        // JSON-escaped in the raw text
+        m.group(8).replace("\\\\", "\\"))
+    }.toSeq
+    require(out.nonEmpty, "fixture parse produced no annotations")
+    out
+  }
+
+  test("all 387 reference annotations parse") {
+    assert(annotations.size === 387)
+    assert(annotations.map(_.categoryId).toSet === Set(0, 1))
+  }
+
+  test("compressed RLE decodes: counts sum to size, mask area ≈ bbox-bounded") {
+    annotations.foreach { a =>
+      val counts = Raster.rleFromCocoString(a.counts)
+      assert(counts.sum === a.rows * a.cols,
+        s"ann ${a.id}: counts sum ${counts.sum} != ${a.rows * a.cols}")
+      val mask = Raster.rleDecode(counts, a.rows, a.cols)
+      val nz = mask.count(_ != 0)
+      assert(nz > 0 && nz <= a.rows * a.cols)
+      // size == bbox h/w (the local mask covers the instance bbox)
+      assert(a.rows === a.bbox(3).toInt && a.cols === a.bbox(2).toInt)
+    }
+  }
+
+  test("re-encoding reproduces the reference counts strings byte-for-byte") {
+    annotations.foreach { a =>
+      val counts = Raster.rleFromCocoString(a.counts)
+      assert(Raster.rleToCocoString(counts) === a.counts, s"ann ${a.id}")
+    }
+  }
+
+  test("decoded masks vectorize to polygons that re-rasterize consistently") {
+    annotations.take(50).foreach { a =>
+      val counts = Raster.rleFromCocoString(a.counts)
+      val mask = Raster.rleDecode(counts, a.rows, a.cols)
+      val polys = Raster.vectorize(mask, a.rows, a.cols)
+      assert(polys.nonEmpty, s"ann ${a.id} vectorizes to nothing")
+      // union of traced polygons re-rasterizes to ≥ the dominant
+      // component's pixel count (outer rings only, holes excluded)
+      val rt = new Array[Byte](a.rows * a.cols)
+      polys.foreach(p => Raster.rasterize(p, a.rows, a.cols, rt))
+      val nzOrig = mask.count(_ != 0)
+      val nzRt = rt.count(_ != 0)
+      assert(nzRt >= nzOrig, s"ann ${a.id}: traced $nzRt < original $nzOrig")
+    }
+  }
+}
