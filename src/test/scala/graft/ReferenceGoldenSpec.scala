@@ -69,6 +69,37 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("our merge pipeline runs end-to-end ON the reference's instances") {
+    // reference instances → our Crown model (polygon = traced dominant
+    // component in global coords) → NMS + dissolve/split merge with the
+    // reference CLI defaults (merge.py:235: conf 0.35, iou 0.1; NMS 0.7)
+    val crowns = annotations.flatMap { a =>
+      val counts = Raster.rleFromCocoString(a.counts)
+      val mask = Raster.rleDecode(counts, a.rows, a.cols)
+      Raster.vectorize(mask, a.rows, a.cols).sortBy(-Geom.area(_)).headOption.map { local =>
+        val poly = Geom.translate(local, a.bbox(0), a.bbox(1))
+        val bb = Geom.BBox.ofPolygon(poly)
+        graft.operators.CrownOps.Crown(0L, a.id, a.id, 0L, a.categoryId,
+          a.score, bb.minX, bb.minY, bb.maxX, bb.maxY, poly)
+      }
+    }.toIndexedSeq
+    assert(crowns.size === 387)
+    val merged = Seq(0, 1).flatMap { cls =>
+      val kept = graft.operators.CrownOps.nmsLocal(
+        crowns.filter(_.classIdx == cls), 0.7)
+      graft.operators.CrownOps.mergeLocal(kept, cls, confThr = 0.35, iouThr = 0.1)
+    }
+    assert(merged.nonEmpty && merged.size < 387) // NMS/conf/merge reduce
+    // deterministic: same counts on re-run (regression anchor)
+    val again = Seq(0, 1).flatMap { cls =>
+      graft.operators.CrownOps.mergeLocal(graft.operators.CrownOps.nmsLocal(
+        crowns.filter(_.classIdx == cls), 0.7), cls, 0.35, 0.1)
+    }
+    assert(merged.map(_.ids.sorted).toSet === again.map(_.ids.sorted).toSet)
+    // every merged instance's members come from the fixture's id space
+    merged.foreach(_.ids.foreach(id => assert(id >= 0 && id < 387)))
+  }
+
   test("decoded masks vectorize to polygons that re-rasterize consistently") {
     annotations.take(50).foreach { a =>
       val counts = Raster.rleFromCocoString(a.counts)
