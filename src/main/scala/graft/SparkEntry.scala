@@ -380,15 +380,6 @@ object SparkEntry {
          |      ORDER BY (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y), pts.i) AS rnk
          |  FROM pts JOIN pts q ON pts.i <> q.i)
          |WHERE rnk <= 5""".stripMargin,
-    "geo_knn_grid" ->
-      s"""$pagesCte, pts AS (SELECT i, x, y FROM pages WHERE i < 6000)
-         |SELECT query_id, rnk AS rank, nbr_id, dist2 FROM (
-         |  SELECT q.i AS query_id, pts.i AS nbr_id,
-         |    (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y) AS dist2,
-         |    row_number() OVER (PARTITION BY q.i
-         |      ORDER BY (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y), pts.i) AS rnk
-         |  FROM pts JOIN pts q ON pts.i <> q.i)
-         |WHERE rnk <= 5""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY 1",
     "dedup_ngram_jaccard" ->

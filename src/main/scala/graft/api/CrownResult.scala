@@ -18,7 +18,11 @@ import graft.tables.{FixtureIO, PagesGen}
   *
   * @param merged     merged crown table (CrownOps.MergedCrown schema)
   * @param mosaic     per-class confidence mosaic tiles
-  * @param threshold  score threshold (reference confidence_threshold)
+  * @param threshold  score threshold (reference confidence_threshold).
+  *                   As in the reference, instances below the PIPELINE
+  *                   confidence floor were never stored, so lowering the
+  *                   threshold below it cannot reveal more instances —
+  *                   only raising it filters further.
   * @param roi        optional region-of-interest polygon (flat coords,
   *                   region-local) — filters instances and masks pixels
   *                   (result/processedresult.py:77-104 set_roi)
@@ -27,7 +31,7 @@ final case class CrownResult(
     spark: SparkSession,
     merged: DataFrame,
     mosaic: Dataset[RasterOps.ConfTile],
-    threshold: Double = 0.2,
+    threshold: Double = 0.3, // = GraftPipeline default confThr (the floor)
     roi: Option[Array[Double]] = None) {
 
   def setThreshold(t: Double): CrownResult = copy(threshold = t)
@@ -64,36 +68,55 @@ final case class CrownResult(
     import spark.implicits._
     val thr255 = math.round(threshold * 255).toInt
     val roiPoly = roi
+    // covered pixels come from the tiles that exist (crown-free tiles
+    // contribute zero coverage); the VALID denominator is analytic over
+    // the full extent (or the rasterized ROI area) — mosaic tiles only
+    // exist where crowns do, so summing per-tile valid pixels would
+    // inflate coverage (processedresult.py:109-118 divides by all valid
+    // image pixels).
+    val gsd = RasterOps.DefaultGsd
+    val side = (GeoOps.TileGrid.ExtentX / gsd).toInt
+    val validTotal: Long = roiPoly match {
+      case None => side.toLong * side
+      case Some(p) =>
+        val local = Geom.affine(p, 1.0 / gsd, 0, 0, 1.0 / gsd, 0, 0)
+        graft.geom.Raster.rasterize(local, side, side).count(_ != 0).toLong
+    }
     val stats = mosaic.filter(_.classIdx == classIdx).map { t =>
-      val valid: Array[Byte] = roiPoly match {
+      val inRoi: Array[Byte] = roiPoly match {
         case None => null
         case Some(p) =>
           val local = Geom.affine(p, 1.0 / t.gsd, 0, 0, 1.0 / t.gsd,
             -t.minX.toDouble / t.gsd, -t.minY.toDouble / t.gsd)
           graft.geom.Raster.rasterize(local, t.rows, t.cols)
       }
-      var nz = 0L; var nValid = 0L
+      var nz = 0L
       var i = 0
       while (i < t.data.length) {
-        if (valid == null || valid(i) != 0) {
-          nValid += 1
-          if ((t.data(i) & 0xff) > thr255) nz += 1
-        }
+        if ((inRoi == null || inRoi(i) != 0) && (t.data(i) & 0xff) > thr255) nz += 1
         i += 1
       }
-      (t.region, nz, nValid)
-    }.toDF("region", "nz", "valid")
+      (t.region, nz)
+    }.toDF("region", "nz")
     stats.groupBy(col("region"))
-      .agg(floor(lit(1000000) * sum(col("nz")) / greatest(sum(col("valid")), lit(1)))
+      .agg(floor(lit(1000000) * sum(col("nz")) / lit(validTotal))
         .cast("long").as("cover_ppm"),
-        sum(col("nz")).as("covered_px"), sum(col("valid")).as("valid_px"))
+        sum(col("nz")).as("covered_px"))
+      .withColumn("valid_px", lit(validTotal))
   }
 
   def canopyCover: DataFrame = cover(CrownOps.ClassCanopy)
   def treeCover: DataFrame = cover(CrownOps.ClassTree)
 
+  /** Distributed serialization for large results: instances as parquet
+    * (cluster-scale; no driver collect). */
+  def serialiseTable(outDir: String): Unit =
+    instances.write.mode("overwrite").parquet(s"$outDir/instances.parquet")
+
   /** Serialize to the canonical fixture formats (merged crowns JSONL +
-    * coverage JSON) — instancesegmentationresult.py:383-423 serialise. */
+    * coverage JSON) — instancesegmentationresult.py:383-423 serialise.
+    * FIXTURE-SCALE ONLY: collects instances to the driver for the
+    * byte-stable canonical writer; use serialiseTable for big runs. */
   def serialise(outDir: String): Unit = {
     import spark.implicits._
     val crowns = instances.as[CrownOps.MergedCrown].collect().toSeq

@@ -124,6 +124,8 @@ object Raster {
       var k = 0
       var more = true
       while (more) {
+        require(p < s.length,
+          s"malformed COCO RLE: continuation past end at char $p")
         val c = s.charAt(p) - 48
         x |= (c & 0x1fL) << (5 * k)
         more = (c & 0x20) != 0
@@ -210,7 +212,6 @@ object Raster {
           (src(y1 * cols + x0) & 0xff) * wy * (1 - wx) +
           (src(y1 * cols + x1) & 0xff) * wy * wx
         out(r * outCols + c) = math.round(v).toByte
-        r * outCols + c
         c += 1
       }
       r += 1

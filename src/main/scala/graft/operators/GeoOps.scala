@@ -133,7 +133,9 @@ object GeoOps {
     * tiny for sane densities, so the common case stays one shuffle. */
   def knnGridExact(points: DataFrame, k: Int, level: Int = 5): DataFrame = {
     val cellSize = TileGrid.ExtentX / (1L << level)
-    val phase1 = knnGrid(points, k, level)
+    // phase1 feeds three consumers (guarantee check, anti-join, output)
+    // — persist so the dominant join runs once
+    val phase1 = knnGrid(points, k, level).persist()
     val cellOf = cell_encode(col("x"), col("y"), level, TileGrid.ExtentX, TileGrid.ExtentY)
     val pts = points.select(col("i"), col("x"), col("y")).withColumn("cell", cellOf)
     // guaranteed covered radius of the 3x3 block around the query
@@ -158,7 +160,7 @@ object GeoOps {
       .withColumn("ring",
         when(col("found").isNull || col("found") < k, lit(1 << level))
           .otherwise(ceil(sqrt(col("kth_d2")) / cellSize) + 1).cast("int"))
-    if (flagged.isEmpty) return phase1
+      .persist()
     // phase 2: per-query ring of the required radius
     val ringUdf = udf((cell: Long, r: Int) => CellIndex.neighborhood(cell, r))
     val q2 = flagged.select(col("query_id"), col("qx"), col("qy"),

@@ -28,6 +28,9 @@ import graft.grid.TileGridSpec
   */
 object RasterOps {
 
+  /** Default raster resolution: world units per raster cell. */
+  val DefaultGsd = 8
+
   /** One confidence raster tile (row-major uint8, nodata = 0). */
   final case class ConfTile(region: Long, tileId: Long, classIdx: Int,
                             minX: Long, minY: Long, rows: Int, cols: Int,

@@ -149,7 +149,15 @@ object Similarity {
     * (complement to the LSH variant). */
   def ivfTopK(emb: DataFrame, nQueries: Int, topK: Int,
               k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    val (clusters, centArr) = kmeansWithCentroids(emb, k, iters)
+    val (clusters, cents) = kmeansWithCentroids(emb, k, iters)
+    // empty clusters keep a stale (seed) centroid near real data —
+    // replace with an unreachable sentinel so probes never pick them
+    val nonEmpty = clusters.groupBy("cluster").count()
+      .collect().map(_.getInt(0)).toSet
+    val dim = cents(0).length
+    val far = Array.fill(dim)(1e18)
+    val centArr = Array.tabulate(cents.length)(c =>
+      if (nonEmpty.contains(c)) cents(c) else far)
     val withCluster = emb.join(clusters, Seq("vec_id"))
     val probeUdf = udf((e: Seq[Float]) => {
       centArr.indices.map { c =>
