@@ -235,6 +235,9 @@ object SparkEntry {
       Multimodal.processMedia(s, PagesGen.pagesFor(s, dir).limit(2000)).toDF()
         .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.format").as("format"), element_at(col("features"), 1).as("byte_len"))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeMedia(s, PagesGen.pagesFor(s, dir).limit(2000), outW = 16, outH = 16)
+        .select(col("i"), length(col("resized")).cast("long").as("n_bytes"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
         .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),

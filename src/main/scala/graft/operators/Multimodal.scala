@@ -71,6 +71,29 @@ object Multimodal {
       }
   }
 
+  /** Resize plumbing: treat the payload as a (len/width × width) byte
+    * grid (STUB — a real codec would decode pixels) and bilinearly
+    * resample it to (outH × outW). The Spark-side shape — binary in,
+    * fixed-size binary out, batched per partition — is the real
+    * contract a production resize kernel drops into. */
+  def resizeMedia(spark: SparkSession, df: DataFrame, outW: Int, outH: Int,
+                  idCol: String = "i", payloadCol: String = "html"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          if (payload == null || payload.length < 4) (id, new Array[Byte](outW * outH))
+          else {
+            val cols = math.max(1, math.min(64, math.sqrt(payload.length).toInt))
+            val rws = payload.length / cols
+            val grid = java.util.Arrays.copyOf(payload, rws * cols)
+            (id, graft.geom.Raster.resampleBilinear(grid, rws, cols, outH, outW))
+          }
+        }
+      }.toDF(idCol, "resized")
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split the payload
     * into `frames` equal byte windows ("frames" under the stub codec)
     * and featurize each — exercises the exploded one-to-many shape real

@@ -165,5 +165,9 @@ class OpsSpec extends AnyFunSuite {
     }
     val frames = Multimodal.sampleFrames(spark, pages, frames = 4)
     assert(frames.count() === 200)
+    // resize: every output payload has exactly outW*outH bytes
+    val resized = Multimodal.resizeMedia(spark, pages, outW = 16, outH = 16).collect()
+    assert(resized.length === 50)
+    resized.foreach(r => assert(r.getAs[Array[Byte]]("resized").length === 256))
   }
 }
