@@ -135,13 +135,19 @@ final case class CrownResult(
   * result surface. */
 object GraftPipeline {
 
+  /** `maxPerTile` mirrors the reference model's detections-per-tile cap
+    * (Detectron TEST.DETECTIONS_PER_IMAGE = 256); Int.MaxValue = no cap
+    * (keeps golden parity — the synthetic model is uncapped). */
   final case class Conf(nmsIou: Double = 0.7, confThr: Double = 0.3,
-                        mergeIou: Double = 0.5, gsd: Int = 8)
+                        mergeIou: Double = 0.5, gsd: Int = 8,
+                        maxPerTile: Int = Int.MaxValue)
 
   def predict(spark: SparkSession, pages: DataFrame,
               conf: Conf = Conf()): CrownResult = {
     val assigned = GeoOps.assignTiles(pages)
-    val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+    val raw = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+    val crowns = if (conf.maxPerTile == Int.MaxValue) raw
+      else CrownOps.capPerTile(raw, conf.maxPerTile)
     val merged = CrownOps.nmsMerge(spark, crowns, conf.nmsIou, conf.confThr, conf.mergeIou)
     val mosaic = RasterOps.mosaic(spark,
       RasterOps.confidenceTiles(spark, crowns, GeoOps.TileGrid.Default, conf.gsd),

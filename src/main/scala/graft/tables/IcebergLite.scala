@@ -108,8 +108,15 @@ object IcebergLite {
   }
 
   /** All live data of a stage (union of its committed snapshots). */
-  def read(spark: SparkSession, root: String, stage: String): Option[DataFrame] = {
-    val snaps = snapshots(root).filter(_.stage == stage)
+  def read(spark: SparkSession, root: String, stage: String): Option[DataFrame] =
+    readAsOf(spark, root, stage, Long.MaxValue)
+
+  /** Time travel: the stage's data as of snapshot `asOfId` (inclusive) —
+    * the append model makes any historical state reconstructible as the
+    * union of snapshots up to that id. */
+  def readAsOf(spark: SparkSession, root: String, stage: String,
+               asOfId: Long): Option[DataFrame] = {
+    val snaps = snapshots(root).filter(s => s.stage == stage && s.id <= asOfId)
     if (snaps.isEmpty) None
     else Some(spark.read.parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*))
   }

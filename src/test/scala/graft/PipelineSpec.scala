@@ -116,6 +116,14 @@ class PipelineSpec extends AnyFunSuite {
     IcebergLite.commit(spark, root, "s1", df.filter(col("id") < 10), "region")
     assert(IcebergLite.read(spark, root, "s1").get.count() === 110)
     assert(IcebergLite.snapshots(root).map(_.id) === Seq(1L, 2L))
+    // time travel: state as of snapshot 1 excludes the second commit
+    assert(IcebergLite.readAsOf(spark, root, "s1", 1L).get.count() === 100)
+    assert(IcebergLite.readAsOf(spark, root, "s1", 0L).isEmpty)
+    // idempotency key: re-commit with the same key is a no-op
+    val k1 = IcebergLite.commit(spark, root, "s1", df, "region", idempotencyKey = 7L)
+    val k2 = IcebergLite.commit(spark, root, "s1", df, "region", idempotencyKey = 7L)
+    assert(k1 === k2)
+    assert(IcebergLite.snapshots(root).size === 3)
   }
 
   test("resume: crash after k regions, re-run, exactly-once per region") {
