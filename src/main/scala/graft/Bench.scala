@@ -76,8 +76,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // isolate queries from each other's allocation debt
       val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+        // checksum EVERY output column (xor of row hashes) — a bare
+        // count() let Catalyst prune projection-only queries down to a
+        // row count, so regressions in the actual operator were
+        // invisible in the per-query numbers
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).head()
+        } catch { case _: Throwable => -1L }
       }
       name -> sec
     }

@@ -75,7 +75,9 @@ object SparkEntry {
       s.read.parquet(t(dir, "lineitem"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity")).as("sum_qty"),
+          // quantities are whole-valued; integer sums keep the oracle
+          // hash FP-order-independent (driver hashes typed values)
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
     }),
     "q_join_revenue" -> ((s, dir) => {
@@ -107,12 +109,17 @@ object SparkEntry {
             .as("p90_cents"))
     }),
 
-    // --- overlapping bbox pair join (J2) over region-0 crowns
+    // --- overlapping bbox pair join (J2): deterministic per-page boxes
+    // (pure i/x/y arithmetic → the same boxes are reconstructible in
+    // the DuckDB oracle as a brute-force join; the crowns-path J2
+    // parity vs brute force is covered in PlanSpec)
     "geo_bbox_pairs" -> ((s, dir) => {
-      val boxes = region0Crowns(s, dir).toDF()
-        .select(col("region"), col("crownId").as("id"),
-          col("minX").as("min_x"), col("minY").as("min_y"),
-          col("maxX").as("max_x"), col("maxY").as("max_y"))
+      val boxes = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+        .select(col("region"), col("i").as("id"),
+          (col("x") - (lit(4) + col("i") % 29)).as("min_x"),
+          (col("y") - (lit(4) + col("i") % 23)).as("min_y"),
+          (col("x") + (lit(4) + (col("i") * 7) % 29)).as("max_x"),
+          (col("y") + (lit(4) + (col("i") * 7) % 23)).as("max_y"))
       GeoOps.overlappingPairs(boxes)
     }),
 
@@ -230,6 +237,14 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")), minTokens = 5, nearDupThrMilli = 800)
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"))),
 
+    // --- the cleaner's pre-LSH stages (annotate + exact dedup): plain
+    // SQL end to end, so the composed pipeline gets a hard oracle up to
+    // the LSH step (the LSH tail is recall-tested vs brute force)
+    "corpus_keepers" -> ((s, dir) =>
+      operators.TrainingPipeline.exactDeduped(
+        operators.TrainingPipeline.annotate(s.read.parquet(t(dir, "documents")), minTokens = 5))
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("n_uniq_tokens"))),
+
     // --- multimodal plumbing (stub codec; Spark-side shapes real)
     "mm_features" -> ((s, dir) =>
       Multimodal.processMedia(s, PagesGen.pagesFor(s, dir).limit(2000)).toDF()
@@ -301,17 +316,35 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB replica of [[operators.TextOps.langId]], generated from the
+    * same Profiles map so the two can never drift: (score-column SQL
+    * over a `_tk` token-list column, argmax CASE with alphabetical tie
+    * break — the CASE cascade in sorted-language order reproduces the
+    * Spark struct sort's prio tiebreak). Java `[\s\p{Punct}]` and RE2
+    * `[[:space:][:punct:]]` denote the same ASCII sets. */
+  private def langIdDuck: (String, String) = {
+    val langs = operators.TextOps.Profiles.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      s"len(list_filter(_tk, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS _$l"
+    }.mkString(", ")
+    val g = langs.map("_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = langs.map { case (l, _) => s"WHEN _$l = $g THEN '$l'" }.mkString(" ")
+    (scoreCols, s"CASE WHEN $g <= 0 THEN 'und' $cases END")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // NOTE: DuckDB sum(BIGINT) is HUGEINT (int128) — the driver hashes
+    // typed values, so every sum gets an outer CAST(... AS BIGINT).
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_join_revenue" ->
       """SELECT n_name, count(*) AS cnt,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
     "q_window_events" ->
@@ -431,5 +464,44 @@ object SparkEntry {
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    "geo_bbox_pairs" ->
+      s"""$pagesCte, b AS (
+         |  SELECT i // 6000 AS region, i AS id,
+         |    x - (4 + i % 29) AS min_x, y - (4 + i % 23) AS min_y,
+         |    x + (4 + (i * 7) % 29) AS max_x, y + (4 + (i * 7) % 23) AS max_y
+         |  FROM pages)
+         |SELECT l.region AS region, l.id AS a, r.id AS b
+         |FROM b l JOIN b r ON l.region = r.region AND l.id < r.id
+         |  AND l.min_x <= r.max_x AND r.min_x <= l.max_x
+         |  AND l.min_y <= r.max_y AND r.min_y <= l.max_y""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_langid" -> {
+      val (scoreCols, caseExpr) = langIdDuck
+      s"""WITH tk AS (SELECT string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
+         |            FROM documents),
+         |sc AS (SELECT $scoreCols FROM tk)
+         |SELECT pred_lang, count(*) AS cnt
+         |FROM (SELECT $caseExpr AS pred_lang FROM sc) GROUP BY 1""".stripMargin
+    },
+    "corpus_keepers" -> {
+      val (scoreCols, caseExpr) = langIdDuck
+      s"""WITH tk AS (SELECT doc_id, text,
+         |    string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text, $scoreCols FROM tk),
+         |ann AS (SELECT doc_id, text, $caseExpr AS pred_lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+         |  FROM sc),
+         |f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND n_uniq_tokens >= 2),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+         |SELECT f.doc_id, f.pred_lang, f.n_tokens, f.n_uniq_tokens
+         |FROM f JOIN k USING (doc_id)""".stripMargin
+    },
   )
 }

@@ -30,15 +30,28 @@ object Dedup {
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ `thr` via inverted-index
-    * self-join on shingle (no O(N²): pairs only materialize where a
-    * shingle is shared; hot shingles are bounded by the shuffle and by
-    * AQE skew splitting). Output (a, b, common, na, nb, jac_milli)
-    * with a < b; jac_milli = floor(1000 * common / (na+nb-common))
-    * (integer → engine-exact for the oracle). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500): DataFrame = {
+    * self-join on shingle (pairs only materialize where a shingle is
+    * shared). A shingle present in d documents materializes d² pairs —
+    * quadratic in document frequency, which AQE cannot shrink (it only
+    * splits partitions) — so shingles with df > `maxDf` are dropped
+    * from pair GENERATION (boilerplate shingles connect everything and
+    * carry no similarity signal anyway). Doc sizes na/nb still count
+    * every shingle, so jac_milli stays a true Jaccard lower bound for
+    * surviving pairs; `common` undercounts only by dropped-hot shared
+    * shingles. Pairs whose overlap is exclusively hot shingles are
+    * missed — corpora like that belong on [[minhashLshPairs]]. Use
+    * [[hotShingles]] to audit the dropped mass. Output (a, b, common,
+    * na, nb, jac_milli) with a < b; jac_milli = floor(1000 * common /
+    * (na+nb-common)) (integer → engine-exact for the oracle). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500,
+                        maxDf: Int = 10000): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("l").join(sh.as("r"), col("l.shingle") === col("r.shingle"))
+    val cold = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("shingle"),
+      Seq("shingle"), "left_anti")
+    val pairs = cold.as("l").join(cold.as("r"), col("l.shingle") === col("r.shingle"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -50,6 +63,13 @@ object Dedup {
       .filter(col("jac_milli") >= thrMilli)
       .select("a", "b", "common", "na", "nb", "jac_milli")
   }
+
+  /** The shingles [[ngramJaccardPairs]] would drop at `maxDf` — the
+    * observability side-channel for the hot-shingle cap (run it before
+    * a big job to log the dropped mass). Output (shingle, df). */
+  def hotShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 10000): DataFrame =
+    shingles(docs, n).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   /** MinHash signature: numHashes permutations h_i(s) = xxhash64(i, s),
     * signature element i = min over the doc's shingles. Returns

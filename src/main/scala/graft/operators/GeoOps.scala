@@ -176,8 +176,16 @@ object GeoOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("dist2"))
-    phase1.join(flagged.select("query_id"), Seq("query_id"), "left_anti")
+    // localCheckpoint (eager) cuts the lineage so the two scratch
+    // persists can be dropped deterministically — repeated calls no
+    // longer accrete executor storage. (At cluster scale you'd commit
+    // the result through IcebergLite instead of checkpointing.)
+    val out = phase1.join(flagged.select("query_id"), Seq("query_id"), "left_anti")
       .unionByName(phase2)
+      .localCheckpoint()
+    phase1.unpersist()
+    flagged.unpersist()
+    out
   }
 
   /** Scalable grid kNN (SURVEY.md J8/W3): candidates = neighbor-cell

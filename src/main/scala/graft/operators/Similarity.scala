@@ -105,9 +105,13 @@ object Similarity {
     * by ivfTopK for probe selection — no recomputation). */
   def kmeansWithCentroids(emb: DataFrame, k: Int,
                           iters: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    // each Lloyd iteration scans the corpus once — persist for the
+    // iteration loop, unpersist before returning (the returned
+    // assignment plan then reads the source once, uncached)
+    val e = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed from the first k rows BY ORDER (ids need not be 0-based or
     // contiguous)
-    var centroids: Array[Array[Double]] = emb
+    var centroids: Array[Array[Double]] = e
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -128,7 +132,7 @@ object Similarity {
     })
     var it = 0
     while (it < iters) {
-      val assigned = emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      val assigned = e.withColumn("cluster", assignUdf(centroids)(col("embedding")))
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
@@ -139,6 +143,7 @@ object Similarity {
       centroids = next
       it += 1
     }
+    e.unpersist()
     (emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
       .select(col("vec_id"), col("cluster")), centroids)
   }

@@ -33,9 +33,13 @@ object TextOps {
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
         lit(langs.size - idx).as("prio"), lit(lang).as("lang"))
     }
-    docs.withColumn("pred_lang",
-      when(sort_array(array(scored: _*), asc = false)(0)("score") > 0,
-        sort_array(array(scored: _*), asc = false)(0)("lang")).otherwise("und"))
+    // hoist the scored sort into ONE named column: CollapseProject keeps
+    // multiply-referenced non-cheap aliases in their own projection, so
+    // the 8-profile scan + sort runs once per row, not twice
+    docs.withColumn("_lang_best", sort_array(array(scored: _*), asc = false)(0))
+      .withColumn("pred_lang",
+        when(col("_lang_best")("score") > 0, col("_lang_best")("lang")).otherwise("und"))
+      .drop("_lang_best")
   }
 
   /** Quality statistic columns (integer-valued → oracle-exact):
@@ -65,16 +69,33 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
-  /** Karp–Rabin polynomial rolling-hash document fingerprint:
-    * h = Σ c_i · 131^i (mod 1e9+7) over the characters, expressed with
-    * `aggregate` over the char sequence — order-sensitive (unlike md5
-    * bucketing it supports incremental/windowed extension). */
+  /** Karp–Rabin polynomial rolling-hash document fingerprint: left fold
+    * h = (h·131 + codepoint) mod 1e9+7 — order-sensitive (unlike md5
+    * bucketing it supports incremental/windowed extension). One linear
+    * imperative pass per row in `mapPartitions` (the sanctioned escape
+    * hatch, like [[Dedup.simhash]]): the previous column formulation —
+    * `ascii(substring(text, i, 1))` inside `transform(sequence(...))` —
+    * re-walked the string per character, O(n²) per document (a 100 KB
+    * doc ≈ 10¹⁰ char ops; scale-killer). Matches the DuckDB
+    * `list_reduce` oracle exactly; null text hashes like empty. */
   def fingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val P = 1000000007L
-    val h = aggregate(
-      transform(sequence(lit(1), length(col("text"))),
-        i => ascii(substring(col("text"), i, lit(1))).cast("long")),
-      lit(0L), (acc, b) => pmod(acc * 131 + b, lit(P)))
-    docs.select(col("doc_id"), h.as("fingerprint"))
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          var h = 0L
+          var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            h = (h * 131 + cp) % P
+            i += Character.charCount(cp)
+          }
+          (id, h)
+        }
+      }.toDF("doc_id", "fingerprint")
   }
 }

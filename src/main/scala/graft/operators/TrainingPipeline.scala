@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The composed training-data corpus cleaner — the standard web-corpus
   * pipeline shape (quality filter → language id → exact dedup →
@@ -11,26 +12,44 @@ import org.apache.spark.sql.functions._
   * Dedup keeps the lowest doc_id of each duplicate group (exact) and
   * drops the higher side of every near-duplicate pair (MinHash-LSH
   * candidates) — the usual keep-first policy.
+  *
+  * The pre-LSH stages ([[annotate]], [[exactDeduped]]) are exposed both
+  * for oracle checkability (they are plain SQL) and because real
+  * pipelines checkpoint between stages (IcebergLite.commit is the
+  * cluster-scale checkpoint; the in-session path persists instead).
   */
 object TrainingPipeline {
 
-  def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
-                  nearDupThrMilli: Int = 800): DataFrame = {
-    // 1. quality + language annotation in ONE narrow pass (no join)
-    val annotated = TextOps.qualityColumns
+  /** Stage 1: language id + quality columns in ONE narrow pass (no
+    * join), then the quality filter. */
+  def annotate(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    TextOps.qualityColumns
       .foldLeft(TextOps.langId(docs)) { case (df, (n, c)) => df.withColumn(n, c) }
       .filter(col("n_tokens") >= minTokens && col("n_uniq_tokens") >= 2)
 
-    // 2. exact dedup: keep the minimum doc_id per content hash (the
-    // dedup suite's keeper policy — Dedup.exact)
+  /** Stage 2: exact dedup over the annotated corpus — keep the minimum
+    * doc_id per content hash (the dedup suite's keeper policy). */
+  def exactDeduped(annotated: DataFrame): DataFrame = {
     val keepers = Dedup.exact(annotated).select(col("keeper").as("doc_id"))
-    val exactDeduped = annotated.join(keepers, Seq("doc_id"), "left_semi")
+    annotated.join(keepers, Seq("doc_id"), "left_semi")
+  }
 
-    // 3. near-dup removal: drop the b side of every MinHash-LSH pair
-    val nearDupLosers = Dedup.minhashLshPairs(exactDeduped,
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
+                  nearDupThrMilli: Int = 800): DataFrame = {
+    // annotate is the engine's most expensive projection (8-profile
+    // langId per row) and feeds the dedup agg AND the semi-join left
+    // side; exactDeduped feeds the LSH input AND the anti-join left
+    // side. Persist both so each computes once (Spark's ContextCleaner
+    // unpersists when the returned plan is garbage-collected; at
+    // cluster scale checkpoint through IcebergLite.commit instead).
+    val annotated = annotate(docs, minTokens).persist(StorageLevel.MEMORY_AND_DISK)
+    val deduped = exactDeduped(annotated).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // near-dup removal: drop the b side of every MinHash-LSH pair
+    val nearDupLosers = Dedup.minhashLshPairs(deduped,
         n = 3, numHashes = 32, bands = 8, thrMilli = nearDupThrMilli)
       .select(col("b").as("doc_id")).distinct()
-    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    deduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"), col("pred_lang"),
         col("n_tokens"), col("n_uniq_tokens"))
   }

@@ -89,19 +89,22 @@ object IcebergLite {
     val dataDir = s"$root/data/$stage/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
 
-    // lineage/metrics from the written files (re-scan is metadata-cheap
-    // and sees exactly what a reader will see)
+    // lineage/metrics from the written files (ONE re-scan of the
+    // snapshot — it sees exactly what a reader will see)
     val written = spark.read.parquet(dataDir)
-    import spark.implicits._
-    val lineage = written
+    val lineageDir = s"$root/lineage/$stage/snap-$snapId"
+    written
       .groupBy(col(unitKeyCol).cast("long").as("unitKey"), spark_partition_id().as("partitionId"))
       .agg(count(lit(1)).as("rowCount"))
       .select(lit(stage).as("stage"), lit(snapId).as("snapshotId"), col("unitKey"),
         col("partitionId"), col("rowCount"), lit(0L).as("bytes"),
         lit((System.nanoTime() - t0) / 1000000).as("wallMs"))
-    lineage.write.mode("overwrite").parquet(s"$root/lineage/$stage/snap-$snapId")
+      .write.mode("overwrite").parquet(lineageDir)
 
-    val rowCount = written.count()
+    // snapshot rowCount = Σ lineage rowCounts — read back the tiny
+    // lineage parquet instead of a third pass over the data
+    val rowCount = Option(spark.read.parquet(lineageDir)
+      .agg(sum(col("rowCount"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     writeManifest(root, prev :+ Snapshot(snapId, stage,
       rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey))
     snapId
