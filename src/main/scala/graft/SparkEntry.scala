@@ -285,6 +285,18 @@ object SparkEntry {
         .select(col("region"), col("cache_tile"), col("class_idx"),
           floor(col("area")).cast("long").as("area_floor"))
     }),
+    // --- per-instance masked crop sink (S12, tcd-extract analogue):
+    // bbox-window crop of the class-confidence mosaic with pixels
+    // outside the crown polygon zeroed; hash stands in for the bytes
+    "crowns_extract" -> ((s, dir) => {
+      val kept = CrownOps.nms(s, region0Crowns(s, dir), iouThr = 0.7)
+      val tiles = RasterOps.mosaic(s,
+        RasterOps.confidenceTiles(s, kept, GeoOps.TileGrid.Default), GeoOps.TileGrid.Default)
+      RasterOps.extractCrops(s, kept, tiles, GeoOps.TileGrid.Default).toDF()
+        .select(col("region"), col("crownId").as("crown_id"),
+          col("classIdx").as("class_idx"), col("rows"), col("cols"),
+          xxhash64(col("crop")).as("crop_hash"))
+    }),
     "raster_metrics" -> ((s, dir) => {
       val all = region0Crowns(s, dir)
       val kept = CrownOps.nms(s, all, iouThr = 0.7)

@@ -71,6 +71,22 @@ object Geom {
 
   def area(c: Array[Double]): Double = math.abs(signedArea(c))
 
+  /** Ring perimeter (closed polyline length). */
+  def perimeter(c: Array[Double]): Double = {
+    val n = c.length / 2
+    if (n < 2) return 0.0
+    var s = 0.0
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val dx = c(2 * i) - c(2 * j); val dy = c(2 * i + 1) - c(2 * j + 1)
+      s += math.sqrt(dx * dx + dy * dy)
+      j = i
+      i += 1
+    }
+    s
+  }
+
   /** Polygon centroid (area-weighted); falls back to vertex mean for
     * degenerate (zero-area) rings. */
   def centroid(c: Array[Double]): (Double, Double) = {

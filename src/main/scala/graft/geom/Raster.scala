@@ -18,26 +18,38 @@ object Raster {
     * Pixel (r,c) is set iff its center (c+0.5, r+0.5) is inside —
     * matching rasterio's default center sampling. */
   def rasterize(coords: Array[Double], rows: Int, cols: Int,
-                mask: Array[Byte] = null): Array[Byte] = {
+                mask: Array[Byte] = null): Array[Byte] =
+    rasterizeRings(Seq(coords), rows, cols, mask)
+
+  /** Even-odd fill over a RING SET (one polygon-with-holes, or several
+    * disjoint polygons and their holes): crossing parity is computed
+    * across every ring, so hole rings carve their pixels out — the
+    * shapely/rasterio interiors semantic (processedinstance.py:385-407
+    * "If the polygon has holes" → RLE mask path). */
+  def rasterizeRings(rings: Seq[Array[Double]], rows: Int, cols: Int,
+                     mask: Array[Byte] = null): Array[Byte] = {
     val out = if (mask != null) mask else new Array[Byte](rows * cols)
-    val n = coords.length / 2
-    if (n < 3) return out
+    val valid = rings.filter(_.length >= 6)
+    if (valid.isEmpty) return out
+    val xs = new Array[Double](valid.map(_.length / 2).sum + 1) // crossing buffer
     var r = 0
-    val xs = new Array[Double](n + 1) // crossing buffer
     while (r < rows) {
       val py = r + 0.5
       var k = 0
-      var i = 0
-      var j = n - 1
-      while (i < n) {
-        val yi = coords(2 * i + 1); val yj = coords(2 * j + 1)
-        if ((yi > py) != (yj > py)) {
-          val xi = coords(2 * i); val xj = coords(2 * j)
-          xs(k) = xi + (py - yi) / (yj - yi) * (xj - xi)
-          k += 1
+      valid.foreach { coords =>
+        val n = coords.length / 2
+        var i = 0
+        var j = n - 1
+        while (i < n) {
+          val yi = coords(2 * i + 1); val yj = coords(2 * j + 1)
+          if ((yi > py) != (yj > py)) {
+            val xi = coords(2 * i); val xj = coords(2 * j)
+            xs(k) = xi + (py - yi) / (yj - yi) * (xj - xi)
+            k += 1
+          }
+          j = i
+          i += 1
         }
-        j = i
-        i += 1
       }
       java.util.Arrays.sort(xs, 0, k)
       var p = 0
@@ -280,15 +292,17 @@ object Raster {
   }
 
   /** mask→polygon: trace the outer boundary of each connected component
-    * (Moore-neighbor border following on the pixel grid), returning
-    * pixel-corner rings. The lightweight analogue of
-    * rasterio.features.shapes (util.py:82-109 `mask_to_polygon`). Only
-    * outer rings (no holes) — sufficient for crown blobs. */
-  def vectorize(mask: Array[Byte], rows: Int, cols: Int): Seq[Array[Double]] = {
-    val labels = connectedComponents(mask, rows, cols)
-    // first (row-major) pixel of each label in ONE pass — labels are
-    // assigned in scan order, so first occurrence is also the
-    // top-left-most start pixel traceBoundary needs
+    * (border following on the pixel grid), returning pixel-corner
+    * rings. The lightweight analogue of rasterio.features.shapes
+    * (util.py:82-109 `mask_to_polygon`). Outer rings only — see
+    * [[vectorizeWithHoles]] for the hole-aware variant. */
+  def vectorize(mask: Array[Byte], rows: Int, cols: Int): Seq[Array[Double]] =
+    vectorizeWithHoles(mask, rows, cols).map(_.head)
+
+  /** First (row-major) pixel of each label in ONE pass — labels are
+    * assigned in scan order, so first occurrence is also the
+    * top-left-most start pixel traceBoundary needs. */
+  private def firstPixels(labels: Array[Int]): Array[Int] = {
     val nLabels = if (labels.isEmpty) 0 else labels.max
     val firstPixel = Array.fill(nLabels + 1)(-1)
     var i = 0
@@ -297,9 +311,66 @@ object Raster {
       if (l != 0 && firstPixel(l) < 0) firstPixel(l) = i
       i += 1
     }
+    firstPixel
+  }
+
+  /** mask→polygons WITH holes: per 4-connected foreground component, a
+    * ring list (outer ring first, then its hole rings) under EVEN-ODD
+    * semantics — [[rasterizeRings]] over the returned rings reproduces
+    * the mask's pixels exactly (asserted per-annotation against the
+    * reference's 387-instance fixture; reference hole handling:
+    * processedinstance.py:385-426). A hole is a 4-connected background
+    * component that touches no mask border; its enclosing component is
+    * the pixel directly above its first row-major pixel (that pixel is
+    * provably foreground). */
+  def vectorizeWithHoles(mask: Array[Byte], rows: Int, cols: Int): Seq[Seq[Array[Double]]] = {
+    if (rows <= 0 || cols <= 0) return Seq.empty
+    val labels = connectedComponents(mask, rows, cols)
+    val firstPixel = firstPixels(labels)
+    val nLabels = firstPixel.length - 1
+
+    // background components (holes candidate set)
+    val bg = new Array[Byte](mask.length)
+    var i = 0
+    while (i < mask.length) { if (mask(i) == 0) bg(i) = 1; i += 1 }
+    val bgLabels = connectedComponents(bg, rows, cols)
+    val bgFirst = firstPixels(bgLabels)
+    val nBg = bgFirst.length - 1
+    val touchesBorder = new Array[Boolean](nBg + 1)
+    var c = 0
+    while (c < cols) {
+      touchesBorder(bgLabels(c)) = true
+      touchesBorder(bgLabels((rows - 1) * cols + c)) = true
+      c += 1
+    }
+    var r = 0
+    while (r < rows) {
+      touchesBorder(bgLabels(r * cols)) = true
+      touchesBorder(bgLabels(r * cols + cols - 1)) = true
+      r += 1
+    }
+
+    val holesByFg = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Array[Double]]]()
+    var hl = 1
+    while (hl <= nBg) {
+      if (!touchesBorder(hl)) {
+        val idx = bgFirst(hl)
+        val encl = labels(idx - cols) // pixel above the first hole pixel
+        var buf = holesByFg.get(encl)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+          holesByFg.put(encl, buf)
+        }
+        buf += traceBoundary(bgLabels, rows, cols, hl, idx)
+      }
+      hl += 1
+    }
+
     (1 to nLabels).map { lbl =>
-      traceBoundary(labels, rows, cols, lbl, firstPixel(lbl))
-    }.filter(_.length >= 6)
+      val outer = traceBoundary(labels, rows, cols, lbl, firstPixel(lbl))
+      val holes = Option(holesByFg.get(lbl)).map(_.toSeq).getOrElse(Seq.empty)
+      outer +: holes
+    }.filter(_.head.length >= 6)
   }
 
   /** 4-connected component labeling (two-pass union-find). Mirrors

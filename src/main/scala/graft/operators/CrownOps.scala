@@ -72,17 +72,35 @@ object CrownOps {
 
   def synthClass(h: Long): Int = Math.floorMod(h >>> 40, 2L).toInt
 
-  /** One detected crown (pre-merge). Flat encoder-friendly schema. */
+  /** Per-class score vector (reference per-class predictions,
+    * instanceprocessor.py:117-118 → processedinstance.py:80-87: score
+    * scalar = max of the vector): own class gets [[synthScore]], the
+    * other class a deterministic strictly-smaller value. */
+  def synthClassScores(h: Long): Array[Double] = {
+    val s = synthScore(h)
+    val other = s * (Math.floorMod(h >>> 48, 1000L) / 1001.0)
+    if (synthClass(h) == 0) Array(s, other) else Array(other, s)
+  }
+
+  /** One detected crown (pre-merge). Flat encoder-friendly schema.
+    * `classScores` is the per-class score vector when the source has
+    * one (reference class_scores); `score` = its max then. */
   final case class Crown(
       region: Long, crownId: Long, pageId: Long, tileId: Long, classIdx: Int,
       score: Double, minX: Double, minY: Double, maxX: Double, maxY: Double,
-      poly: Array[Double])
+      poly: Array[Double], classScores: Array[Double] = Array.emptyDoubleArray)
 
-  /** Merged crown (post pipeline): multipolygon parts + score list. */
+  /** Merged crown (post pipeline): multipolygon parts + score list +
+    * the DISSOLVED geometry — `geom` holds the union's rings under
+    * even-odd semantics (outer rings + hole rings; a single-member
+    * crown's geom is just its polygon) and `perimeter` their total
+    * length, mirroring merge.py:196-205 (merged geometry written with
+    * area/perimeter properties). */
   final case class MergedCrown(
       region: Long, classIdx: Int, memberIds: Array[Long], score: Double,
       scores: Array[Double], minX: Double, minY: Double, maxX: Double,
-      maxY: Double, area: Double, parts: Array[Array[Double]])
+      maxY: Double, area: Double, perimeter: Double,
+      parts: Array[Array[Double]], geom: Array[Array[Double]])
 
   /** Per-(page, tile) crown synthesis + tile-edge rejection. The edge
     * filter mirrors instanceprocessor.py:100-109: TREE instances whose
@@ -116,9 +134,15 @@ object CrownOps {
             lx0 < EdgeTolerance || ly0 < EdgeTolerance ||
             lx1 > tileSize - EdgeTolerance || ly1 > tileSize - EdgeTolerance)
           if (edgeReject) Iterator.empty
-          else Iterator.single(Crown(region, pageId * nTiles + tileId, pageId, tileId,
-            classIdx, synthScore(h) + tileId * 1e-7,
-            bb.minX, bb.minY, bb.maxX, bb.maxY, poly))
+          else {
+            // per-tile epsilon on the own-class entry keeps score ==
+            // max(classScores) while making cross-tile dupes distinct
+            val cs = synthClassScores(h)
+            cs(classIdx) += tileId * 1e-7
+            Iterator.single(Crown(region, pageId * nTiles + tileId, pageId, tileId,
+              classIdx, cs(classIdx),
+              bb.minX, bb.minY, bb.maxX, bb.maxY, poly, cs))
+          }
         }
       }
   }
@@ -395,12 +419,31 @@ object CrownOps {
 
   private def toMerged(region: Long, classIdx: Int, inst: Inst): MergedCrown = {
     val bb = inst.bbox
-    val area =
-      if (inst.parts.size == 1) Geom.area(inst.parts.head)
-      else Raster.unionArea(inst.parts, bb)
-    MergedCrown(region, classIdx, inst.ids.sorted.toArray,
-      median(inst.scores), inst.scores.toArray,
-      bb.minX, bb.minY, bb.maxX, bb.maxY, area, inst.parts.toArray)
+    if (inst.parts.size == 1) {
+      val p = inst.parts.head
+      MergedCrown(region, classIdx, inst.ids.sorted.toArray,
+        median(inst.scores), inst.scores.toArray,
+        bb.minX, bb.minY, bb.maxX, bb.maxY,
+        Geom.area(p), Geom.perimeter(p), inst.parts.toArray, Array(p))
+    } else {
+      // union mask over the floor-snapped bbox (masks are the source
+      // geometry): area = pixel count, dissolved geometry = hole-aware
+      // traced rings shifted back to global coords (merge.py:196-205)
+      val ox = math.floor(bb.minX); val oy = math.floor(bb.minY)
+      val cols = math.max(1, math.ceil(bb.maxX - ox).toInt)
+      val rows = math.max(1, math.ceil(bb.maxY - oy).toInt)
+      val mask = new Array[Byte](rows * cols)
+      inst.parts.foreach(p => Raster.rasterize(Geom.translate(p, -ox, -oy), rows, cols, mask))
+      var area = 0L
+      var i = 0
+      while (i < mask.length) { area += mask(i); i += 1 }
+      val rings = Raster.vectorizeWithHoles(mask, rows, cols).flatten
+        .map(Geom.translate(_, ox, oy)).toArray
+      MergedCrown(region, classIdx, inst.ids.sorted.toArray,
+        median(inst.scores), inst.scores.toArray,
+        bb.minX, bb.minY, bb.maxX, bb.maxY,
+        area.toDouble, rings.map(Geom.perimeter).sum, inst.parts.toArray, rings)
+    }
   }
 
   /** Distributed merge: NMS → dissolve → split → median, per region and

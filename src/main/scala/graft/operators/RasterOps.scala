@@ -148,7 +148,10 @@ object RasterOps {
   }
 
   /** Binarize + vectorize a mosaic (P4 + R2): polygons of connected
-    * regions above threshold, in world coords. */
+    * regions above threshold, in world coords. Hole-aware: `poly` is
+    * the component's outer ring, `n_holes` its hole-ring count, and
+    * `area` the even-odd (hole-subtracted) area — ring-traced areas are
+    * pixel-exact, so outer minus holes equals the pixel count × gsd². */
   def vectorizeMosaic(spark: SparkSession, mosaicTiles: Dataset[ConfTile],
                       thr255: Int): DataFrame = {
     import spark.implicits._
@@ -156,12 +159,13 @@ object RasterOps {
       val bin = new Array[Byte](t.data.length)
       var i = 0
       while (i < bin.length) { if ((t.data(i) & 0xff) > thr255) bin(i) = 1; i += 1 }
-      Raster.vectorize(bin, t.rows, t.cols).map { poly =>
-        val world = Geom.affine(poly, t.gsd.toDouble, 0, 0, t.gsd.toDouble,
-          t.minX.toDouble, t.minY.toDouble)
-        (t.region, t.tileId, t.classIdx, Geom.area(world), world)
+      Raster.vectorizeWithHoles(bin, t.rows, t.cols).map { rings =>
+        val world = rings.map(Geom.affine(_, t.gsd.toDouble, 0, 0, t.gsd.toDouble,
+          t.minX.toDouble, t.minY.toDouble))
+        val area = Geom.area(world.head) - world.tail.map(Geom.area).sum
+        (t.region, t.tileId, t.classIdx, area, world.head, rings.size - 1)
       }
-    }.toDF("region", "cache_tile", "class_idx", "area", "poly")
+    }.toDF("region", "cache_tile", "class_idx", "area", "poly", "n_holes")
   }
 
   /** GSD rescale of confidence tiles (T4/R4): box-blur ≈1.5×scale then
@@ -250,5 +254,69 @@ object RasterOps {
         floor(lit(1000000) * col("tp") / greatest(col("tp") + col("fn"), lit(1))).cast("long"))
       .withColumn("f1_ppm",
         floor(lit(2000000) * col("tp") / greatest(lit(2) * col("tp") + col("fp") + col("fn"), lit(1))).cast("long"))
+  }
+
+  /** One polygon-masked instance crop: `crop` is the raster window
+    * under the crown's bbox with pixels OUTSIDE the polygon zeroed,
+    * `poly` the polygon in crop-local raster coords. */
+  final case class InstanceCrop(region: Long, crownId: Long, classIdx: Int,
+                                score: Double, minCx: Long, minCy: Long,
+                                rows: Int, cols: Int, crop: Array[Byte],
+                                poly: Array[Double])
+
+  /** Per-instance masked crop extraction — the tcd-extract analogue
+    * (scripts/extract.py:56-92): window = the instance's bbox, raster
+    * read from the (region, class) confidence mosaic, pixels outside
+    * the polygon set to 0 (`out_crop[extended_mask] = 0`), instances
+    * not fully inside the extent skipped (`shape.within(src.bounds)`).
+    * Shape: crown bbox → covering cache-tile ids (closed-form
+    * arithmetic, same trick as assignTiles) → equi-join with mosaic
+    * tiles on (region, class, cache tile) → per-crown window assembly.
+    * One shuffle (the group-by); each group holds ≤4 tile pieces. */
+  def extractCrops(spark: SparkSession, crowns: Dataset[CrownOps.Crown],
+                   mosaicTiles: Dataset[ConfTile], spec: TileGridSpec,
+                   cacheTileSize: Long = 1024): Dataset[InstanceCrop] = {
+    import spark.implicits._
+    val nCx = math.ceil(spec.width.toDouble / cacheTileSize).toInt
+    // (cacheId, crown) candidates — bounds check mirrors the reference's
+    // within(src.bounds) skip
+    val cand = crowns
+      .filter(c => c.minX >= 0 && c.minY >= 0 &&
+        c.maxX <= spec.width && c.maxY <= spec.height)
+      .flatMap { c =>
+        val cx0 = math.floor(c.minX).toLong / cacheTileSize
+        val cx1 = math.max(cx0, (math.ceil(c.maxX).toLong - 1) / cacheTileSize)
+        val cy0 = math.floor(c.minY).toLong / cacheTileSize
+        val cy1 = math.max(cy0, (math.ceil(c.maxY).toLong - 1) / cacheTileSize)
+        for (cy <- cy0 to cy1; cx <- cx0 to cx1)
+          yield ((c.region, c.classIdx, cy * nCx + cx), c)
+      }
+    val tiles = mosaicTiles.map(t => ((t.region, t.classIdx, t.tileId), t))
+    cand.joinWith(tiles, cand("_1") === tiles("_1"))
+      .map { case ((_, c), (_, t)) => (c, t) }
+      .groupByKey { case (c, _) => c.crownId }
+      .flatMapGroups { (_: Long, it: Iterator[(CrownOps.Crown, ConfTile)]) =>
+        val pieces = it.toSeq
+        val c = pieces.head._1
+        val gsd = pieces.head._2.gsd
+        // window in raster cells (pixel-grid snap of the bbox)
+        val cx0 = math.floor(c.minX / gsd).toInt
+        val cy0 = math.floor(c.minY / gsd).toInt
+        val cols = math.max(1, math.ceil(c.maxX / gsd).toInt - cx0)
+        val rows = math.max(1, math.ceil(c.maxY / gsd).toInt - cy0)
+        val crop = new Array[Byte](rows * cols)
+        pieces.foreach { case (_, t) =>
+          Raster.paste(crop, rows, cols, t.data, t.rows, t.cols,
+            (t.minY / gsd).toInt - cy0, (t.minX / gsd).toInt - cx0, mode = 1)
+        }
+        // zero outside the polygon (geometry_mask, extract.py:63-71)
+        val local = Geom.affine(c.poly, 1.0 / gsd, 0, 0, 1.0 / gsd,
+          -cx0.toDouble, -cy0.toDouble)
+        val inside = Raster.rasterize(local, rows, cols)
+        var i = 0
+        while (i < crop.length) { if (inside(i) == 0) crop(i) = 0; i += 1 }
+        Iterator.single(InstanceCrop(c.region, c.crownId, c.classIdx, c.score,
+          cx0.toLong, cy0.toLong, rows, cols, crop, local))
+      }
   }
 }

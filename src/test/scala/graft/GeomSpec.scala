@@ -226,4 +226,33 @@ class GeomSpec extends AnyFunSuite {
     val expected = mask.zipWithIndex.count { case (v, i) => v == 1 && labels(i) == 1 }
     assert(rt.map(_.toInt).sum === expected)
   }
+
+  test("vectorizeWithHoles: donut round-trips exactly; hole area carved out") {
+    // 8×8 ring: filled 1..6 square with a 3..4 hole (donut)
+    val mask = new Array[Byte](100)
+    for (r <- 1 to 6; c <- 1 to 6) mask(r * 10 + c) = 1
+    for (r <- 3 to 4; c <- 3 to 4) mask(r * 10 + c) = 0
+    val comps = Raster.vectorizeWithHoles(mask, 10, 10)
+    assert(comps.size === 1)
+    assert(comps.head.size === 2, "one outer + one hole ring")
+    val rt = Raster.rasterizeRings(comps.head, 10, 10)
+    assert(java.util.Arrays.equals(rt, mask))
+    // ring-traced areas are pixel-exact: outer 36, hole 4
+    assert(math.abs(Geom.area(comps.head.head) - 36.0) < 1e-9)
+    assert(math.abs(Geom.area(comps.head(1)) - 4.0) < 1e-9)
+  }
+
+  test("vectorizeWithHoles: island inside a hole round-trips exactly") {
+    // donut with a 1-px island in the middle of its hole
+    val mask = new Array[Byte](121)
+    for (r <- 0 to 8; c <- 0 to 8) mask(r * 11 + c) = 1
+    for (r <- 2 to 6; c <- 2 to 6) mask(r * 11 + c) = 0
+    mask(4 * 11 + 4) = 1 // island
+    val comps = Raster.vectorizeWithHoles(mask, 11, 11)
+    assert(comps.size === 2, "donut + island are separate components")
+    val rt = Raster.rasterizeRings(comps.flatten, 11, 11)
+    assert(java.util.Arrays.equals(rt, mask))
+    // the island is hole-free; the donut has exactly one hole
+    assert(comps.map(_.size).sorted === Seq(1, 2))
+  }
 }

@@ -135,6 +135,84 @@ class RasterPathSpec extends AnyFunSuite {
     assert(rec.mask.sameElements(graft.geom.Raster.rleDecode(rle, rows, cols)))
   }
 
+  test("extractCrops: masked window crop (tcd-extract semantics)") {
+    val kept = CrownOps.nms(spark, crowns, iouThr = 0.7)
+    val mos = RasterOps.mosaic(spark, RasterOps.confidenceTiles(spark, kept, spec), spec)
+    val crops = RasterOps.extractCrops(spark, kept, mos, spec).collect()
+    assert(crops.nonEmpty)
+    val mosByKey = mos.collect().map(t => ((t.region, t.classIdx, t.tileId), t)).toMap
+    crops.take(25).foreach { cr =>
+      // window dims match the bbox snap
+      assert(cr.rows >= 1 && cr.cols >= 1)
+      // every pixel outside the polygon is zero
+      val inside = graft.geom.Raster.rasterize(cr.poly, cr.rows, cr.cols)
+      cr.crop.indices.foreach { i =>
+        if (inside(i) == 0) assert(cr.crop(i) === 0.toByte,
+          s"crown ${cr.crownId}: unmasked pixel $i")
+      }
+      // inside pixels equal the mosaic values at the same world cells
+      val gsd = 8
+      var checked = 0
+      cr.crop.indices.foreach { i =>
+        if (inside(i) != 0) {
+          val wr = cr.minCy + i / cr.cols; val wc = cr.minCx + i % cr.cols
+          val cacheId = (wr * gsd / 1024) * 2 + (wc * gsd / 1024)
+          mosByKey.get((cr.region, cr.classIdx, cacheId)).foreach { t =>
+            val tv = t.data(((wr - t.minY / gsd) * t.cols + (wc - t.minX / gsd)).toInt)
+            assert(cr.crop(i) === tv, s"crown ${cr.crownId} px $i")
+            checked += 1
+          }
+        }
+      }
+      assert(checked > 0, s"crown ${cr.crownId}: no inside pixel verified")
+    }
+    // out-of-bounds instances are skipped (reference within-bounds check)
+    val oob = kept.collect().count(c => c.minX < 0 || c.minY < 0 ||
+      c.maxX > spec.width || c.maxY > spec.height)
+    assert(crops.length <= kept.count() - oob + 0)
+  }
+
+  test("COCO polygon branch + class_scores round-trips byte-exactly") {
+    // polygon-encoded record with class_scores and label
+    val poly = Array(10.0, 10.0, 30.0, 12.0, 28.0, 30.0, 9.0, 25.0)
+    val bb = graft.geom.Geom.BBox.ofPolygon(poly)
+    val rec = FixtureIO.CocoRecord(7L, 0L, 1, 0.9, Array(0.4, 0.9), Some(1L),
+      Array(bb.minX, bb.minY, bb.width, bb.height), graft.geom.Geom.area(poly),
+      0, isGlobal = true, 0, 0, Array.emptyByteArray, Seq(poly))
+    val json = FixtureIO.cocoToJson(rec)
+    val back = FixtureIO.cocoFromJson(json)
+    assert(back.score === 0.9 && back.classScores.toSeq === Seq(0.4, 0.9))
+    assert(back.label === Some(1L) && back.segPolys.head.toSeq === poly.toSeq)
+    // the polygon rasterizes into the parsed mask
+    assert(back.mask.count(_ != 0) > 0)
+    // byte-exact re-serialization (parse normalizes mask dims; rewrite)
+    assert(FixtureIO.cocoToJson(back.copy(maskRows = 0, maskCols = 0,
+      mask = Array.emptyByteArray)) === json)
+    // nested multipolygon segmentation also parses
+    val poly2 = graft.geom.Geom.translate(poly, 100.0, 0.0)
+    val rec2 = rec.copy(segPolys = Seq(poly, poly2),
+      bbox = Array(9.0, 10.0, 121.0, 20.0))
+    val json2 = FixtureIO.cocoToJson(rec2)
+    val back2 = FixtureIO.cocoFromJson(json2)
+    assert(back2.segPolys.size === 2 && back2.segPolys(1).toSeq === poly2.toSeq)
+    assert(FixtureIO.cocoToJson(back2.copy(maskRows = 0, maskCols = 0,
+      mask = Array.emptyByteArray)) === json2)
+  }
+
+  test("COCO RLE branch: compressed string counts parse (reference format)") {
+    val c = crowns.head()
+    val (rows, cols, rle) = FixtureIO.polyRle(c.poly)
+    val counts = graft.geom.Raster.rleToCocoString(rle)
+    val esc = counts.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = s"""{"id":1,"image_id":0,"category_id":0,"score":0.5,""" +
+      s""""bbox":[${c.minX},${c.minY},${c.maxX - c.minX},${c.maxY - c.minY}],""" +
+      s""""area":1,"segmentation":{"size":[$rows,$cols],"counts":"$esc"},""" +
+      s""""iscrowd":1,"global":false}"""
+    val rec = FixtureIO.cocoFromJson(json)
+    assert(rec.maskRows === rows && rec.maskCols === cols)
+    assert(rec.mask.sameElements(graft.geom.Raster.rleDecode(rle, rows, cols)))
+  }
+
   test("fixture round trip: WKT and canonical JSON stable") {
     val poly = Array(10.0, 10.0, 30.0, 12.0, 28.0, 30.0, 9.0, 25.0)
     val wkt = FixtureIO.polyToWkt(poly)

@@ -100,19 +100,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     merged.foreach(_.ids.foreach(id => assert(id >= 0 && id < 387)))
   }
 
-  test("decoded masks vectorize to polygons that re-rasterize consistently") {
-    annotations.take(50).foreach { a =>
+  test("decoded masks round-trip EXACTLY through hole-aware vectorize") {
+    annotations.foreach { a =>
       val counts = Raster.rleFromCocoString(a.counts)
       val mask = Raster.rleDecode(counts, a.rows, a.cols)
-      val polys = Raster.vectorize(mask, a.rows, a.cols)
-      assert(polys.nonEmpty, s"ann ${a.id} vectorizes to nothing")
-      // union of traced polygons re-rasterizes to ≥ the dominant
-      // component's pixel count (outer rings only, holes excluded)
-      val rt = new Array[Byte](a.rows * a.cols)
-      polys.foreach(p => Raster.rasterize(p, a.rows, a.cols, rt))
+      val comps = Raster.vectorizeWithHoles(mask, a.rows, a.cols)
+      assert(comps.nonEmpty, s"ann ${a.id} vectorizes to nothing")
+      // even-odd re-rasterization of ALL rings (outers + holes) must
+      // reproduce the decoded mask pixel-for-pixel
+      val rt = Raster.rasterizeRings(comps.flatten, a.rows, a.cols)
       val nzOrig = mask.count(_ != 0)
       val nzRt = rt.count(_ != 0)
-      assert(nzRt >= nzOrig, s"ann ${a.id}: traced $nzRt < original $nzOrig")
+      assert(nzRt === nzOrig, s"ann ${a.id}: traced $nzRt != original $nzOrig")
+      assert(java.util.Arrays.equals(rt, mask), s"ann ${a.id}: pixel mismatch")
     }
   }
 }
