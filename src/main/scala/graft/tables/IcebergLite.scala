@@ -74,7 +74,15 @@ object IcebergLite {
 
   /** Write `df` as a new snapshot of `stage`, recording per-(unitKey,
     * partition) lineage metrics. `unitKeyCol` is the resume granularity
-    * (e.g. region id, tile id). Returns the snapshot id. */
+    * (e.g. region id, tile id). Returns the snapshot id.
+    *
+    * Concurrency contract: the manifest swap is atomic (rename) but
+    * LAST-WRITER-WINS — two writers committing concurrently can each
+    * read the same `prev` and one commit's manifest entry is lost (its
+    * orphaned data dir is never visible, so readers stay consistent).
+    * Single-writer-per-table is the assumed model, like the reference's
+    * single-process cache (cache.py:46-91); a real Iceberg catalog
+    * would CAS the manifest pointer instead. */
   def commit(spark: SparkSession, root: String, stage: String, df: DataFrame,
              unitKeyCol: String, idempotencyKey: Long = -1L): Long = {
     val t0 = System.nanoTime()

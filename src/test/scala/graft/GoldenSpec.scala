@@ -36,6 +36,25 @@ class GoldenSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got, want), "golden fixture bytes drifted")
   }
 
+  test("crown synthesis matches its committed content hash") {
+    // cheap committed-golden for the synthesis stage itself (the merged
+    // fixture covers the full pipeline; this pins the pre-merge stage so
+    // a synthesis drift is attributed to the right operator)
+    val pages = PagesGen.pages(spark, 3000)
+    val crowns = CrownOps.synthesize(spark, GeoOps.assignTiles(pages), GeoOps.TileGrid.Default)
+      .collect().sortBy(_.crownId)
+    val canon = crowns.map(c => FixtureIO.crownToCocoJson(c)).mkString("\n")
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val goldenFile = java.nio.file.Paths.get("src/test/resources/golden_synth_3000.sha256")
+    if (!java.nio.file.Files.exists(goldenFile)) {
+      java.nio.file.Files.write(goldenFile, hash.getBytes("UTF-8"))
+      cancel(s"synth golden bootstrapped ($hash) — commit it and rerun")
+    }
+    val want = new String(java.nio.file.Files.readAllBytes(goldenFile), "UTF-8").trim
+    assert(hash === want, "crown synthesis content hash drifted")
+  }
+
   test("golden fixture parses back: every line is valid canonical JSON") {
     val goldenFile = java.nio.file.Paths.get(goldenPath)
     assume(java.nio.file.Files.exists(goldenFile), "golden not yet bootstrapped")
