@@ -20,6 +20,14 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Pages with 4× core overpartitioning — the realistic 100-TB shape
+    * (way more splits than slots) and straggler insurance: with one
+    * partition per core a single externally-slowed task stretches the
+    * whole job by its full delay. */
+  private def pagesOverPartitioned(spark: SparkSession, n: Long) =
+    PagesGen.projectColumns(
+      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4).toDF("i"))
+
   /** The north-metric job: pages → geocode → covering-tile explode →
     * (region, tile) counts. Output rows = assignments. */
   def tileAssignJobN(spark: SparkSession, n: Long): Long = {
@@ -27,7 +35,7 @@ object Bench {
     // from the table) and checksummed per assignment row — asserting the
     // byte-identical-text invariant is part of the measured work, and it
     // keeps Catalyst from pruning the payload away into a pure-LCG job.
-    val assigned = GeoOps.assignTiles(PagesGen.pages(spark, n))
+    val assigned = GeoOps.assignTiles(pagesOverPartitioned(spark, n))
     val agg = assigned.groupBy(col("region"), col("tile_id"))
       .agg(count(lit(1)).as("cnt"), sum(crc32(col("text"))).as("chk"))
       .agg(sum(col("cnt")), sum(col("chk"))).head()
@@ -39,7 +47,7 @@ object Bench {
 
   /** Full geometry pipeline (synth → NMS → merge) — the merge phase. */
   def pipelineJobN(spark: SparkSession, n: Long): Long = {
-    val assigned = GeoOps.assignTiles(PagesGen.pages(spark, n))
+    val assigned = GeoOps.assignTiles(pagesOverPartitioned(spark, n))
     val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
     CrownOps.nmsMerge(spark, crowns, 0.7, 0.3, 0.5).toDF().count()
   }

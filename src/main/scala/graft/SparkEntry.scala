@@ -257,6 +257,17 @@ object SparkEntry {
       Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
         .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
 
+    // --- lat/lon presentation formatting (F2, util.py:462-473):
+    // pseudo lat/lon derived mod a prime (1999) so no value ever lands
+    // on an exact .0005 rounding tie (Java HALF_UP vs C half-even
+    // would diverge there; non-ties agree)
+    "geo_latlon_fmt" -> ((s, dir) => {
+      val lat = (col("i") % 1999) / 1999.0 * 180.0 - 90.0
+      val lon = (col("i") * 37 % 1999) / 1999.0 * 360.0 - 180.0
+      PagesGen.pagesFor(s, dir)
+        .select(col("i"), format_lat(lat).as("lat_str"), format_lon(lon).as("lon_str"))
+    }),
+
     // --- grid kNN (the 100-TB candidate-pruned path): the two-phase
     // adaptive-ring variant is provably exact, so it gets an oracle.
     "geo_knn_grid" -> ((s, dir) => {
@@ -476,6 +487,14 @@ object SparkEntry {
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    "geo_latlon_fmt" ->
+      s"""$pagesCte
+         |SELECT i,
+         |  printf('%.3f', abs((i % 1999) / 1999.0 * 180.0 - 90.0)) || '$$^\\circ$$' ||
+         |    CASE WHEN (i % 1999) / 1999.0 * 180.0 - 90.0 < 0 THEN 'S' ELSE 'N' END AS lat_str,
+         |  printf('%.3f', abs((i * 37 % 1999) / 1999.0 * 360.0 - 180.0)) || '$$^\\circ$$' ||
+         |    CASE WHEN (i * 37 % 1999) / 1999.0 * 360.0 - 180.0 < 0 THEN 'W' ELSE 'E' END AS lon_str
+         |FROM pages""".stripMargin,
     "geo_bbox_pairs" ->
       s"""$pagesCte, b AS (
          |  SELECT i // 6000 AS region, i AS id,

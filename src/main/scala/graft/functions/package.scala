@@ -65,6 +65,17 @@ package object functions {
     when(u <= 0.0, 0.0).otherwise(inter / u)
   }
 
+  /** Lat/lon presentation strings (reference util.py:462-473
+    * format_lat_str / format_lon_str): "{abs:.3f}$^\circ$N|S|E|W".
+    * Pure builtins — fully codegen'd. */
+  def format_lat(lat: Column): Column =
+    concat(format_string("%.3f", abs(lat)), lit("$^\\circ$"),
+      when(lat < 0, "S").otherwise("N"))
+
+  def format_lon(lon: Column): Column =
+    concat(format_string("%.3f", abs(lon)), lit("$^\\circ$"),
+      when(lon < 0, "W").otherwise("E"))
+
   /** bbox-overlap predicate on flat bbox columns (range-join shape). */
   def bbox_intersects(aMinX: Column, aMinY: Column, aMaxX: Column, aMaxY: Column,
                       bMinX: Column, bMinY: Column, bMaxX: Column, bMaxY: Column): Column =

@@ -376,11 +376,14 @@ object CrownOps {
 
   /** Full region-local merge for one class (merge.py:125-164): filter by
     * confidence (strict >), dissolve, pass singletons through, split
-    * multi-groups, median-collapse scores. */
+    * multi-groups, median-collapse scores. Instances with a NaN bbox
+    * are skipped before association, mirroring the reference's guard
+    * (instanceprocessor.py:191, merge.py:112 `np.isnan(poly.bounds)`). */
   def mergeLocal(crowns: IndexedSeq[Crown], classIdx: Int,
                  confThr: Double, iouThr: Double): List[Inst] = {
     val insts = crowns.iterator
-      .filter(c => c.classIdx == classIdx && c.score > confThr)
+      .filter(c => c.classIdx == classIdx && c.score > confThr &&
+        !(c.minX.isNaN || c.minY.isNaN || c.maxX.isNaN || c.maxY.isNaN))
       .map(instOf).toIndexedSeq
     dissolveLocal(insts).flatMap { group =>
       if (group.size == 1) group

@@ -69,6 +69,23 @@ object RasterOps {
       }
   }
 
+  /** Empty-tile skip by mean pixel (P3, model.py:162-176 `skip_empty`):
+    * drop tiles whose mean is ≤ `lo` (all-black) or ≥ `hi` (all-white)
+    * before the expensive downstream stages — the reference runs this
+    * per batch ahead of inference. Narrow partition-local filter. */
+  def skipEmptyTiles(tiles: Dataset[ConfTile], lo: Double = 1.0,
+                     hi: Double = 254.0): Dataset[ConfTile] =
+    tiles.filter { t =>
+      if (t.data.isEmpty) false
+      else {
+        var s = 0L
+        var i = 0
+        while (i < t.data.length) { s += (t.data(i) & 0xff); i += 1 }
+        val m = s.toDouble / t.data.length
+        m > lo && m < hi
+      }
+    }
+
   /** Inner-crop a confidence tile by overlap/2 with the reference's edge
     * rules (semanticprocessor.py:62-86): left/bottom pad drops at the
     * extent origin; right/top always crop at least 1 px. */

@@ -58,6 +58,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("NaN-bbox instances are skipped before merge association (P10)") {
+    // reference guard: instanceprocessor.py:191 / merge.py:112
+    val good = crownsFor(500).collect().toIndexedSeq
+    val nanPoly = Array(Double.NaN, 5.0, 10.0, 5.0, 10.0, 10.0)
+    val bad = CrownOps.Crown(0L, 999999L, 999999L, 0L, CrownOps.ClassCanopy,
+      0.9, Double.NaN, 5.0, 10.0, 10.0, nanPoly)
+    val withBad = good :+ bad
+    val merged = CrownOps.mergeLocal(withBad, CrownOps.ClassCanopy, 0.3, 0.5)
+    val clean = CrownOps.mergeLocal(good, CrownOps.ClassCanopy, 0.3, 0.5)
+    assert(merged.map(_.ids.sorted) === clean.map(_.ids.sorted))
+    assert(!merged.exists(_.ids.contains(999999L)))
+  }
+
   test("stats stage: per-region aggregates committed with lineage") {
     val wh = java.nio.file.Files.createTempDirectory("wh_stats").toString
     CrownJob.run(spark, CrownJob.Conf(2 * GeoOps.PagesPerRegion, wh))

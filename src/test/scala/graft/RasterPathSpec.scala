@@ -135,6 +135,16 @@ class RasterPathSpec extends AnyFunSuite {
     assert(rec.mask.sameElements(graft.geom.Raster.rleDecode(rle, rows, cols)))
   }
 
+  test("skipEmptyTiles: all-black and all-white tiles dropped (P3)") {
+    val black = RasterOps.ConfTile(0, 0, 0, 0, 0, 4, 4, 8, new Array[Byte](16))
+    val white = black.copy(tileId = 1, data = Array.fill[Byte](16)(-1)) // 0xff
+    val mixed = black.copy(tileId = 2,
+      data = Array.tabulate[Byte](16)(i => if (i % 2 == 0) 0 else 100))
+    val kept = RasterOps.skipEmptyTiles(
+      spark.createDataset(Seq(black, white, mixed))).collect()
+    assert(kept.map(_.tileId).toSeq === Seq(2L))
+  }
+
   test("extractCrops: masked window crop (tcd-extract semantics)") {
     val kept = CrownOps.nms(spark, crowns, iouThr = 0.7)
     val mos = RasterOps.mosaic(spark, RasterOps.confidenceTiles(spark, kept, spec), spec)
