@@ -449,9 +449,15 @@ object SparkEntry {
         |       (SELECT unnest(generate_series(1, 2000)) AS i)
         |  WHERE i + 2 <= len(toks)),
         |sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+        |-- same hot-shingle cap as the engine (df > 10000 dropped from
+        |-- pair generation only; doc sizes keep every shingle)
+        |cold AS (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 10000) k
+        |  USING (shingle)),
         |pairs AS (
         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
-        |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  FROM cold l JOIN cold r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, common, la.s AS na, lb.s AS nb,
         |  CAST(floor(1000 * common / (la.s + lb.s - common)) AS BIGINT) AS jac_milli

@@ -329,11 +329,14 @@ object Raster {
     val firstPixel = firstPixels(labels)
     val nLabels = firstPixel.length - 1
 
-    // background components (holes candidate set)
+    // background components (holes candidate set) — 8-connected, the
+    // topological dual of the 4-connected foreground (see
+    // connectedComponents doc): a background pocket reachable through a
+    // diagonal gap is NOT a hole
     val bg = new Array[Byte](mask.length)
     var i = 0
     while (i < mask.length) { if (mask(i) == 0) bg(i) = 1; i += 1 }
-    val bgLabels = connectedComponents(bg, rows, cols)
+    val bgLabels = connectedComponents(bg, rows, cols, connectivity = 8)
     val bgFirst = firstPixels(bgLabels)
     val nBg = bgFirst.length - 1
     val touchesBorder = new Array[Boolean](nBg + 1)
@@ -374,10 +377,17 @@ object Raster {
   }
 
   /** 4-connected component labeling (two-pass union-find). Mirrors
-    * skimage.measure.label as used in tools/make_masks.py:64-87. */
-  def connectedComponents(mask: Array[Byte], rows: Int, cols: Int): Array[Int] = {
+    * skimage.measure.label as used in tools/make_masks.py:64-87.
+    * `connectivity = 8` also links diagonals — needed for BACKGROUND
+    * labeling in [[vectorizeWithHoles]] (topological duality:
+    * 4-connected foreground ↔ 8-connected background; with 4-conn on
+    * both, a diagonal-gap background pocket would be misread as a
+    * hole and break the even-odd round trip). */
+  def connectedComponents(mask: Array[Byte], rows: Int, cols: Int,
+                          connectivity: Int = 4): Array[Int] = {
     val labels = new Array[Int](rows * cols)
     val uf = new Geom.UnionFind(rows * cols / 2 + 2)
+    val diag = connectivity == 8
     var next = 1
     var r = 0
     while (r < rows) {
@@ -386,11 +396,16 @@ object Raster {
         if (mask(r * cols + c) != 0) {
           val up = if (r > 0) labels((r - 1) * cols + c) else 0
           val left = if (c > 0) labels(r * cols + c - 1) else 0
-          val lbl =
-            if (up == 0 && left == 0) { val l = next; next += 1; l }
-            else if (up == 0) left
-            else if (left == 0) up
-            else { uf.union(up, left); math.min(up, left) }
+          val upL = if (diag && r > 0 && c > 0) labels((r - 1) * cols + c - 1) else 0
+          val upR = if (diag && r > 0 && c < cols - 1) labels((r - 1) * cols + c + 1) else 0
+          var lbl = 0
+          Seq(up, left, upL, upR).foreach { n =>
+            if (n != 0) {
+              if (lbl == 0) lbl = n
+              else if (n != lbl) { uf.union(lbl, n); lbl = math.min(lbl, n) }
+            }
+          }
+          if (lbl == 0) { lbl = next; next += 1 }
           labels(r * cols + c) = lbl
         }
         c += 1

@@ -82,8 +82,10 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val P = 1000000007L
+    // Option[Long] id: a null (or non-numeric, cast -> null) doc_id
+    // passes through as null instead of crashing the primitive decoder
     docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+      .as[(Option[Long], String)]
       .mapPartitions { rows =>
         rows.map { case (id, text0) =>
           val text = if (text0 == null) "" else text0

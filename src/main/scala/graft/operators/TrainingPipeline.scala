@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The composed training-data corpus cleaner — the standard web-corpus
   * pipeline shape (quality filter → language id → exact dedup →
@@ -39,11 +38,14 @@ object TrainingPipeline {
     // annotate is the engine's most expensive projection (8-profile
     // langId per row) and feeds the dedup agg AND the semi-join left
     // side; exactDeduped feeds the LSH input AND the anti-join left
-    // side. Persist both so each computes once (Spark's ContextCleaner
-    // unpersists when the returned plan is garbage-collected; at
-    // cluster scale checkpoint through IcebergLite.commit instead).
-    val annotated = annotate(docs, minTokens).persist(StorageLevel.MEMORY_AND_DISK)
-    val deduped = exactDeduped(annotated).persist(StorageLevel.MEMORY_AND_DISK)
+    // side. localCheckpoint (eager) computes each ONCE and cuts the
+    // lineage; unlike Dataset.persist (whose plan the CacheManager pins
+    // for the whole session and leaks across calls), the checkpoint
+    // blocks are RDD-level storage that the ContextCleaner frees once
+    // the returned plan is garbage-collected. At cluster scale,
+    // checkpoint between stages through IcebergLite.commit instead.
+    val annotated = annotate(docs, minTokens).localCheckpoint()
+    val deduped = exactDeduped(annotated).localCheckpoint()
 
     // near-dup removal: drop the b side of every MinHash-LSH pair
     val nearDupLosers = Dedup.minhashLshPairs(deduped,

@@ -205,14 +205,16 @@ object FixtureIO {
       val seg =
         if (rec.segPolys.size == 1) rec.segPolys.head.map(fmt).mkString("[", ",", "]")
         else rec.segPolys.map(_.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
-      sb.append(s""""segmentation":$seg,"iscrowd":0,"global":true}""")
+      sb.append(s""""segmentation":$seg,""")
     } else {
       val counts = Raster.rleToCocoString(
         Raster.rleEncode(rec.mask, rec.maskRows, rec.maskCols))
       val esc = counts.replace("\\", "\\\\").replace("\"", "\\\"")
       sb.append(s""""segmentation":{"size":[${rec.maskRows},${rec.maskCols}],"counts":"$esc"},""")
-      sb.append(s""""iscrowd":1,"global":${rec.isGlobal}}""")
     }
+    // iscrowd/global come from the RECORD (COCO allows e.g. iscrowd=0
+    // with RLE) — round-trip fidelity beats branch defaults
+    sb.append(s""""iscrowd":${rec.iscrowd},"global":${rec.isGlobal}}""")
     sb.toString
   }
 

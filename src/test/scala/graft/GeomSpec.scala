@@ -242,6 +242,19 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(Geom.area(comps.head(1)) - 4.0) < 1e-9)
   }
 
+  test("vectorizeWithHoles: diagonal-gap pocket is NOT a hole (bg 8-conn duality)") {
+    // plus-shaped background around a center pixel: [[0,1,0],[1,0,1],[0,1,0]]
+    // — the center bg pixel reaches the border through diagonal gaps, so
+    // with the correct 8-connected background labeling it is NOT a hole
+    val mask = new Array[Byte](9)
+    mask(1) = 1; mask(3) = 1; mask(5) = 1; mask(7) = 1
+    val comps = Raster.vectorizeWithHoles(mask, 3, 3)
+    assert(comps.size === 4, "four separate 4-connected fg pixels")
+    assert(comps.forall(_.size === 1), "no component has a hole")
+    val rt = Raster.rasterizeRings(comps.flatten, 3, 3)
+    assert(java.util.Arrays.equals(rt, mask))
+  }
+
   test("vectorizeWithHoles: island inside a hole round-trips exactly") {
     // donut with a 1-px island in the middle of its hole
     val mask = new Array[Byte](121)
