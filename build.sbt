@@ -32,3 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // pools sized to N, not the 32-core host) — set by tools/scaling_run.sh.
 javaOptions ++= sys.env.get("SPARK_ACTIVE_PROCS")
   .map(p => s"-XX:ActiveProcessorCount=$p").toSeq
+// Optional GC selector for throughput experiments (SPARK_GC=Parallel →
+// -XX:+UseParallelGC); applied identically to every JVM in a run.
+javaOptions ++= sys.env.get("SPARK_GC").map(g => s"-XX:+Use${g}GC").toSeq

@@ -36,7 +36,11 @@ object ScalingBench {
     val totalCores = nExec * coresPer
     val shm = new java.io.File("/dev/shm")
     val builder = SparkSession.builder()
-      .config("spark.sql.shuffle.partitions", totalCores)
+      // 4x overdecomposition (matches Bench's input partitioning): with
+      // exactly one shuffle partition per core, the slowest reduce task
+      // stretches the stage by its full delay — smaller tasks smooth
+      // stragglers, which is also the realistic many-splits 100-TB shape
+      .config("spark.sql.shuffle.partitions", totalCores * 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
