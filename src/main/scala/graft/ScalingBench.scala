@@ -118,11 +118,16 @@ object ScalingBench {
     val mode = if (args.length > 3) args(3) else "both"
     if (mode == "n" || mode == "4n") {
       val nExec = if (mode == "n") 1 else 4
-      val aSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 2,
-        s => Bench.tileAssignJobN(s, nAssign / 4),
+      // FULL-SIZE warm-up, best of 3: JIT compile threads scale with
+      // the pinned ActiveProcessorCount, so a quarter-size warm-up left
+      // the short 4N-side runs partially interpreted — systematically
+      // biasing measured efficiency down (probe: warm merge phase
+      // scales at 0.85, semi-cold samples read 0.56-0.78)
+      val aSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 3,
+        s => Bench.tileAssignJobN(s, nAssign),
         s => Bench.tileAssignJobN(s, nAssign))).min
-      val pSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 2,
-        s => Bench.pipelineJobN(s, nPipeline / 4),
+      val pSec = (1 to rounds).map(_ => bestOf(nExec, baseCores, 3,
+        s => Bench.pipelineJobN(s, nPipeline),
         s => Bench.pipelineJobN(s, nPipeline))).min
       println(f"""{"mode":"$mode","cores":${nExec * baseCores},""" +
         f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
