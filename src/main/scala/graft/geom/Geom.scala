@@ -128,6 +128,26 @@ object Geom {
     inside
   }
 
+  /** Strictly-convex CCW ring test (every consecutive cross product
+    * > 0) — allocation-free fast path that lets hot loops skip
+    * [[convexHull]] (whose index sortBy boxes a tuple per vertex) when
+    * the ring is already a strictly convex CCW cycle. Collinear
+    * vertices return false (the hull would drop them). */
+  def isConvexCCW(c: Array[Double]): Boolean = {
+    val n = c.length / 2
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val k = if (j + 1 == n) 0 else j + 1
+      val cr = (c(2 * j) - c(2 * i)) * (c(2 * k + 1) - c(2 * j + 1)) -
+               (c(2 * j + 1) - c(2 * i + 1)) * (c(2 * k) - c(2 * j))
+      if (cr <= 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Andrew's monotone-chain convex hull over (x,y) pairs. Returns CCW
     * ring without repeated first point. Mirrors the reference test
     * util's `random_polygon` (convex hull of random points,

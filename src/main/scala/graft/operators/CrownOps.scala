@@ -64,7 +64,10 @@ object CrownOps {
       pts(2 * k + 1) = y + rk * math.sin(a)
       k += 1
     }
-    Geom.convexHull(pts) // hull guarantees convexity for any jitter
+    // angle-ordered vertices are usually already strictly convex CCW —
+    // skip the hull's boxing sort then (same polygon, possibly rotated
+    // start vertex); hull guarantees convexity for the rest
+    if (Geom.isConvexCCW(pts)) pts else Geom.convexHull(pts)
   }
 
   def synthScore(h: Long): Double =
