@@ -273,6 +273,25 @@ object Raster {
     out
   }
 
+  /** buffer(0)-style validity fix under mask semantics (reference
+    * util.py:99-104: `if not all_polygons.is_valid: buffer(0)`): a
+    * self-intersecting / pinched ring set is resolved by rasterizing it
+    * over its integer-snapped bbox and re-tracing — the even-odd
+    * interior is what survives, which is buffer(0)'s resolution of a
+    * bowtie at pixel resolution (masks are the engine's source
+    * geometry). Returns one hole-aware ring list per resulting
+    * component, in the input's global coordinates. */
+  def makeValid(rings: Seq[Array[Double]]): Seq[Seq[Array[Double]]] = {
+    val boxes = rings.filter(_.length >= 6).map(Geom.BBox.ofPolygon)
+    if (boxes.isEmpty) return Seq.empty
+    val bb = boxes.reduce(_ union _)
+    val ox = math.floor(bb.minX); val oy = math.floor(bb.minY)
+    val cols = math.max(1, math.ceil(bb.maxX - ox).toInt)
+    val rows = math.max(1, math.ceil(bb.maxY - oy).toInt)
+    val mask = rasterizeRings(rings.map(Geom.translate(_, -ox, -oy)), rows, cols)
+    vectorizeWithHoles(mask, rows, cols).map(_.map(Geom.translate(_, ox, oy)))
+  }
+
   /** Median of the raster values under a polygon (geometry-mask sample,
     * reference P9/J5: util.py:37-79 filter_shapefile + R3
     * geometry_mask). Returns -1 when the polygon covers no pixel. */

@@ -242,6 +242,25 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(Geom.area(comps.head(1)) - 4.0) < 1e-9)
   }
 
+  test("makeValid: bowtie resolves to its even-odd interior (buffer(0) analogue)") {
+    // self-intersecting bowtie: (0,0)-(20,20)-(20,0)-(0,20) crosses at (10,10)
+    val bowtie = Array(0.0, 0.0, 20.0, 20.0, 20.0, 0.0, 0.0, 20.0)
+    val fixed = Raster.makeValid(Seq(bowtie))
+    // lobes touch pixel-diagonally at the crossing, so the component
+    // count is resolution-dependent — the CONTRACT is that the even-odd
+    // interior is preserved and the output rings are pixel-boundary
+    // traces (valid by construction)
+    assert(fixed.nonEmpty)
+    val raw = Raster.rasterize(bowtie, 20, 20)
+    val rt = Raster.rasterizeRings(fixed.flatten, 20, 20)
+    assert(java.util.Arrays.equals(rt, raw))
+    // a valid convex ring passes through area-preserved (one component)
+    val sq = Array(2.0, 2.0, 12.0, 2.0, 12.0, 12.0, 2.0, 12.0)
+    val ok = Raster.makeValid(Seq(sq))
+    assert(ok.size === 1 && ok.head.size === 1)
+    assert(math.abs(Geom.area(ok.head.head) - 100.0) < 1e-9)
+  }
+
   test("vectorizeWithHoles: diagonal-gap pocket is NOT a hole (bg 8-conn duality)") {
     // plus-shaped background around a center pixel: [[0,1,0],[1,0,1],[0,1,0]]
     // — the center bg pixel reaches the border through diagonal gaps, so
