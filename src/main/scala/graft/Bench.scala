@@ -45,11 +45,13 @@ object Bench {
   def tileAssignJob(spark: SparkSession, sfDir: String): Long =
     tileAssignJobN(spark, PagesGen.rowsFor(sfDir))
 
-  /** Full geometry pipeline (synth → NMS → merge) — the merge phase. */
+  /** Full geometry pipeline (synth → NMS → merge) — the merge phase.
+    * emitGeom = false: the job counts merged instances, so it skips the
+    * dissolved-ring border trace that no consumer of this job reads. */
   def pipelineJobN(spark: SparkSession, n: Long): Long = {
     val assigned = GeoOps.assignTiles(pagesOverPartitioned(spark, n))
     val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
-    CrownOps.nmsMerge(spark, crowns, 0.7, 0.3, 0.5).toDF().count()
+    CrownOps.nmsMerge(spark, crowns, 0.7, 0.3, 0.5, emitGeom = false).toDF().count()
   }
 
   def pipelineJob(spark: SparkSession, sfDir: String): Long =
@@ -83,23 +85,33 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // isolate queries from each other's allocation debt
-      val (_, sec) = time {
-        // checksum EVERY output column (xor of row hashes) — a bare
-        // count() let Catalyst prune projection-only queries down to a
-        // row count, so regressions in the actual operator were
-        // invisible in the per-query numbers
+      // checksum EVERY output column (xor of row hashes) — a bare
+      // count() let Catalyst prune projection-only queries down to a
+      // row count, so regressions in the actual operator were
+      // invisible in the per-query numbers
+      val (ok, sec) = time {
         try {
           val df = fn(spark, sfDir)
           df.select(xxhash64(df.columns.map(col): _*).as("h"))
             .agg(expr("bit_xor(h)")).head()
-        } catch { case _: Throwable => -1L }
+          true
+        } catch {
+          case e: Throwable =>
+            // a swallowed failure reads as a fast query in BENCH_rN —
+            // fail loudly instead: name + exception to stderr, "err"
+            // in the JSON
+            System.err.println(s"BENCH QUERY FAILED: $name — $e")
+            false
+        }
       }
-      name -> sec
+      (name, sec, ok)
     }
     val qs = (results ++ Seq(
-      "headline_tile_assign" -> assignSec,
-      "headline_pipeline" -> pipelineSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      ("headline_tile_assign", assignSec, true),
+      ("headline_pipeline", pipelineSec, true)))
+      .map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"err\"") }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + assignSec + pipelineSec
     println(
       s"""{"metric":"tile_assign_pages_per_sec","value":$rowsPerSec,"unit":"rows/sec",""" +

@@ -34,9 +34,11 @@ object SparkEntry {
     val pages = PagesGen.pages(spark, 6000)
     val assigned = GeoOps.assignTiles(pages)
     val crowns = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
-    val kept = CrownOps.nms(spark, crowns, iouThr = 0.7)
     import spark.implicits._
-    CrownOps.merge(spark, kept, confThr = 0.3, iouThr = 0.5)
+    // fused NMS+merge — ONE shuffle, the same plan shape the bench
+    // pipeline and CrownResult.run use (nms + merge as two stages is
+    // semantically identical but pays a second Exchange)
+    CrownOps.nmsMerge(spark, crowns, nmsIou = 0.7, confThr = 0.3, mergeIou = 0.5)
       .toDF()
       .select(col("region"), col("classIdx").as("class_idx"), col("score"),
         col("minX").as("min_x"), col("minY").as("min_y"),
@@ -146,12 +148,10 @@ object SparkEntry {
     // the oracle cross-checks the codegen'd encode path end-to-end.
     "geo_cell_agg" -> ((s, dir) => {
       val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
-      val cellsUdf = udf((cell: Long) =>
-        (graft.grid.CellIndex.ix(cell), graft.grid.CellIndex.iy(cell)))
       pages
         .withColumn("cell", cell_encode(col("x"), col("y"), 8, 2048.0, 2048.0))
-        .withColumn("ixy", cellsUdf(col("cell")))
-        .groupBy(col("region"), col("ixy._1").as("ix"), col("ixy._2").as("iy"))
+        .groupBy(col("region"),
+          cell_ix(col("cell")).as("ix"), cell_iy(col("cell")).as("iy"))
         .agg(count(lit(1)).as("cnt"))
     }),
 
@@ -159,11 +159,8 @@ object SparkEntry {
     // must equal the plain per-cell counts — oracle-checked.
     "geo_cell_salted" -> ((s, dir) => {
       val pages = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
-      val cellsUdf = udf((cell: Long) =>
-        (graft.grid.CellIndex.ix(cell), graft.grid.CellIndex.iy(cell)))
       GeoOps.saltedCellCounts(pages, level = 8, salt = 16)
-        .withColumn("ixy", cellsUdf(col("cell")))
-        .select(col("ixy._1").as("ix"), col("ixy._2").as("iy"), col("cnt"))
+        .select(cell_ix(col("cell")).as("ix"), cell_iy(col("cell")).as("iy"), col("cnt"))
     }),
 
     // --- tile assignment (T1/T5: the spatial join as arithmetic)
@@ -201,13 +198,19 @@ object SparkEntry {
     }),
 
     // --- dedup suite over documents (SURVEY/training-data ops)
+    // maxDf = 10000 is the explicit opt-in hot-shingle cap (the oracle
+    // SQL replicates exactly this cap)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")), n = 3, thrMilli = 100)),
+      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")),
+        n = 3, thrMilli = 100, maxDf = 10000)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
         n = 3, numHashes = 32, bands = 8, thrMilli = 100)),
+    // maxHamming = 3 → 4 × 16-bit pigeonhole chunks: candidate join
+    // bounded at ~4n²/2¹⁶ (maxHamming = 8 gave 7-bit chunks → quadratic
+    // candidates at corpus scale; wider radii need the maxBucket cap)
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 8)),
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 3)),
     "dedup_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(s.read.parquet(t(dir, "embeddings")), thrMicro = 350000L)),
 
@@ -331,7 +334,11 @@ object SparkEntry {
     "crowns_merged" -> ((s, dir) => {
       val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
       val crowns = CrownOps.synthesize(s, assigned, GeoOps.TileGrid.Default)
-      CrownOps.nmsMerge(s, crowns, nmsIou = 0.7, confThr = 0.3, mergeIou = 0.5).toDF()
+      // emitGeom = false: this query reads counts/bboxes/area only, so
+      // the dissolved-ring border trace (the dominant per-instance
+      // cost) is skipped; fixture serialization keeps it on
+      CrownOps.nmsMerge(s, crowns, nmsIou = 0.7, confThr = 0.3, mergeIou = 0.5,
+          emitGeom = false).toDF()
         .select(col("region"), col("classIdx").as("class_idx"), col("score"),
           col("minX").as("min_x"), col("minY").as("min_y"),
           col("maxX").as("max_x"), col("maxY").as("max_y"), col("area"),

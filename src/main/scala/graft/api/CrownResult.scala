@@ -42,14 +42,14 @@ final case class CrownResult(
     case None => df
     case Some(p) =>
       val bb = Geom.BBox.ofPolygon(p)
-      // bbox prefilter + exact polygon-overlap residual on the crown
-      // centroid (instances whose center falls inside the ROI —
-      // _filter_roi keeps intersecting instances; centroid containment
-      // is the deterministic variant used here)
+      // bbox prefilter + exact polygon-intersects residual on the
+      // instance polygons — the reference's _filter_roi keeps every
+      // instance whose geometry INTERSECTS the ROI (result/
+      // instancesegmentationresult.py:192-216), so an instance
+      // straddling the ROI boundary is kept, not dropped
       df.filter(col("maxX") >= bb.minX && col("minX") <= bb.maxX &&
           col("maxY") >= bb.minY && col("minY") <= bb.maxY)
-        .filter(st_contains_point(typedlit(p),
-          (col("minX") + col("maxX")) / 2, (col("minY") + col("maxY")) / 2))
+        .filter(exists(col("parts"), part => st_intersects(part, typedlit(p))))
   }
 
   /** Instances of the TREE class above the threshold

@@ -38,6 +38,30 @@ case class CellEncode(x: Expression, y: Expression,
     copy(x = l, y = r)
 }
 
+/** Morton deinterleave of a cell id back to one grid coordinate —
+  * `axis` 0 → ix, 1 → iy. The decode mirror of [[CellEncode]]: pure bit
+  * arithmetic whose codegen calls the `CellIndex` static forwarder
+  * directly, so cell decoding stays inside whole-stage codegen (no
+  * ScalaUDF node — the round trip encode→decode is fully generated). */
+case class CellCoord(cell: Expression, axis: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def child: Expression = cell
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (axis == 0) "cell_ix" else "cell_iy"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val id = v.asInstanceOf[Long]
+    if (axis == 0) CellIndex.ix(id) else CellIndex.iy(id)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (axis == 0) s"graft.grid.CellIndex.ix($c)" else s"graft.grid.CellIndex.iy($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(cell = c)
+}
+
 /** Array of tile ids of the overlapping grid covering point (x, y) —
   * the page⨝tile spatial join reduced to per-row arithmetic over the
   * broadcastable [[TileGridSpec]] (SURVEY.md T1/T5: the "spatial join →

@@ -25,6 +25,12 @@ package object functions {
   def covering_tiles(x: Column, y: Column, spec: TileGridSpec): Column =
     toCol(CoveringTiles(toExpr(x), toExpr(y), spec))
 
+  /** Grid x-coordinate decoded from a cell id (Morton deinterleave). */
+  def cell_ix(cell: Column): Column = toCol(CellCoord(toExpr(cell), 0))
+
+  /** Grid y-coordinate decoded from a cell id (Morton deinterleave). */
+  def cell_iy(cell: Column): Column = toCol(CellCoord(toExpr(cell), 1))
+
   /** Ray-casting point-in-polygon (flat coords array). */
   def st_contains_point(poly: Column, x: Column, y: Column): Column =
     toCol(STContainsPoint(toExpr(poly), toExpr(x), toExpr(y)))

@@ -132,7 +132,13 @@ object Geom {
     * > 0) — allocation-free fast path that lets hot loops skip
     * [[convexHull]] (whose index sortBy boxes a tuple per vertex) when
     * the ring is already a strictly convex CCW cycle. Collinear
-    * vertices return false (the hull would drop them). */
+    * vertices return false (the hull would drop them).
+    *
+    * PRECONDITION: the ring must wind exactly once (winding number 1).
+    * All-left-turn rings with winding > 1 (e.g. a pentagram) also pass
+    * the per-vertex test, so this is NOT a general convexity/validity
+    * check — the sole intended caller is the synth fast path, whose
+    * angle-sorted vertices wind once by construction. */
   def isConvexCCW(c: Array[Double]): Boolean = {
     val n = c.length / 2
     if (n < 3) return false

@@ -417,12 +417,21 @@ object Raster {
           val left = if (c > 0) labels(r * cols + c - 1) else 0
           val upL = if (diag && r > 0 && c > 0) labels((r - 1) * cols + c - 1) else 0
           val upR = if (diag && r > 0 && c < cols - 1) labels((r - 1) * cols + c + 1) else 0
+          // allocation-free neighbor fold (this runs per foreground
+          // pixel, twice per vectorizeWithHoles call — fg + bg passes)
           var lbl = 0
-          Seq(up, left, upL, upR).foreach { n =>
-            if (n != 0) {
-              if (lbl == 0) lbl = n
-              else if (n != lbl) { uf.union(lbl, n); lbl = math.min(lbl, n) }
-            }
+          if (up != 0) lbl = up
+          if (left != 0) {
+            if (lbl == 0) lbl = left
+            else if (left != lbl) { uf.union(lbl, left); lbl = math.min(lbl, left) }
+          }
+          if (upL != 0) {
+            if (lbl == 0) lbl = upL
+            else if (upL != lbl) { uf.union(lbl, upL); lbl = math.min(lbl, upL) }
+          }
+          if (upR != 0) {
+            if (lbl == 0) lbl = upR
+            else if (upR != lbl) { uf.union(lbl, upR); lbl = math.min(lbl, upR) }
           }
           if (lbl == 0) { lbl = next; next += 1 }
           labels(r * cols + c) = lbl

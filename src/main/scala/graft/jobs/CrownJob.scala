@@ -21,10 +21,15 @@ import graft.tables.{IcebergLite, PagesGen}
   */
 object CrownJob {
 
+  /** @param emitGeom whether the merge stage traces + commits dissolved
+    *                  ring geometry (keep true when the merged table
+    *                  feeds fixture serialization; stats/count-only
+    *                  workflows can skip the trace cost) */
   final case class Conf(nPages: Long, warehouse: String,
                         nmsIou: Double = 0.7, confThr: Double = 0.3,
                         mergeIou: Double = 0.5,
-                        failAfterRegions: Int = -1)
+                        failAfterRegions: Int = -1,
+                        emitGeom: Boolean = true)
 
   val StageCrowns = "crowns"
   val StageMerged = "merged"
@@ -64,7 +69,8 @@ object CrownJob {
     if (pending.isEmpty) return -1L
     val ds = pending.as[CrownOps.Crown]
     val kept = CrownOps.nms(spark, ds, conf.nmsIou)
-    val merged = CrownOps.merge(spark, kept, conf.confThr, conf.mergeIou).toDF()
+    val merged = CrownOps.merge(spark, kept, conf.confThr, conf.mergeIou,
+      emitGeom = conf.emitGeom).toDF()
     IcebergLite.commit(spark, conf.warehouse, StageMerged, merged, "region")
   }
 

@@ -411,26 +411,38 @@ object CrownOps {
   /** Fused NMS + merge in ONE shuffle: both operators group on the same
     * (region, class) key, so running them back-to-back inside a single
     * flatMapGroups halves the pipeline's shuffles (the dominant cost at
-    * scale). Semantics identical to nms() followed by merge(). */
+    * scale). Semantics identical to nms() followed by merge().
+    *
+    * `emitGeom = false` skips the dissolved-geometry border trace (the
+    * dominant per-instance CPU cost — rasterize is still paid for the
+    * exact pixel `area`, but hole-aware ring tracing is not) and leaves
+    * `geom` empty / `perimeter` 0.0. Use it for count/stats consumers
+    * that never read the rings; fixture serialization keeps the
+    * default. */
   def nmsMerge(spark: SparkSession, crowns: Dataset[Crown], nmsIou: Double,
-               confThr: Double, mergeIou: Double): Dataset[MergedCrown] = {
+               confThr: Double, mergeIou: Double,
+               emitGeom: Boolean = true): Dataset[MergedCrown] = {
     import spark.implicits._
     crowns.groupByKey(c => (c.region, c.classIdx))
       .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
         val (region, classIdx) = key
         val kept = nmsLocal(it.toIndexedSeq, nmsIou)
-        mergeLocal(kept, classIdx, confThr, mergeIou).iterator.map(toMerged(region, classIdx, _))
+        mergeLocal(kept, classIdx, confThr, mergeIou)
+          .iterator.map(toMerged(region, classIdx, _, emitGeom))
       })
   }
 
-  private def toMerged(region: Long, classIdx: Int, inst: Inst): MergedCrown = {
+  private def toMerged(region: Long, classIdx: Int, inst: Inst,
+                       emitGeom: Boolean): MergedCrown = {
     val bb = inst.bbox
     if (inst.parts.size == 1) {
       val p = inst.parts.head
       MergedCrown(region, classIdx, inst.ids.sorted.toArray,
         median(inst.scores), inst.scores.toArray,
         bb.minX, bb.minY, bb.maxX, bb.maxY,
-        Geom.area(p), Geom.perimeter(p), inst.parts.toArray, Array(p))
+        Geom.area(p), if (emitGeom) Geom.perimeter(p) else 0.0,
+        inst.parts.toArray,
+        if (emitGeom) Array(p) else Array.empty[Array[Double]])
     } else {
       // union mask over the floor-snapped bbox (masks are the source
       // geometry): area = pixel count, dissolved geometry = hole-aware
@@ -443,8 +455,10 @@ object CrownOps {
       var area = 0L
       var i = 0
       while (i < mask.length) { area += mask(i); i += 1 }
-      val rings = Raster.vectorizeWithHoles(mask, rows, cols).flatten
-        .map(Geom.translate(_, ox, oy)).toArray
+      val rings =
+        if (emitGeom) Raster.vectorizeWithHoles(mask, rows, cols).flatten
+          .map(Geom.translate(_, ox, oy)).toArray
+        else Array.empty[Array[Double]]
       MergedCrown(region, classIdx, inst.ids.sorted.toArray,
         median(inst.scores), inst.scores.toArray,
         bb.minX, bb.minY, bb.maxX, bb.maxY,
@@ -453,15 +467,16 @@ object CrownOps {
   }
 
   /** Distributed merge: NMS → dissolve → split → median, per region and
-    * class, one shuffle total. */
+    * class, one shuffle total. `emitGeom` as in [[nmsMerge]]. */
   def merge(spark: SparkSession, crowns: Dataset[Crown],
-            confThr: Double, iouThr: Double): Dataset[MergedCrown] = {
+            confThr: Double, iouThr: Double,
+            emitGeom: Boolean = true): Dataset[MergedCrown] = {
     import spark.implicits._
     crowns.groupByKey(c => (c.region, c.classIdx))
       .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
         val (region, classIdx) = key
         mergeLocal(it.toIndexedSeq, classIdx, confThr, iouThr)
-          .iterator.map(toMerged(region, classIdx, _))
+          .iterator.map(toMerged(region, classIdx, _, emitGeom))
       })
   }
 }

@@ -40,17 +40,17 @@ object Dedup {
     * surviving pairs; `common` undercounts only by dropped-hot shared
     * shingles. Pairs whose overlap is exclusively hot shingles are
     * missed — corpora like that belong on [[minhashLshPairs]]. Use
-    * [[hotShingles]] to audit the dropped mass. Output (a, b, common,
-    * na, nb, jac_milli) with a < b; jac_milli = floor(1000 * common /
-    * (na+nb-common)) (integer → engine-exact for the oracle). */
+    * [[hotShingles]] to audit the dropped mass. The cap is OPT-IN
+    * (default = no cap) so the call signature's semantics never shift
+    * silently under an existing caller; any job at corpus scale should
+    * pass an explicit maxDf. Output (a, b, common, na, nb, jac_milli)
+    * with a < b; jac_milli = floor(1000 * common / (na+nb-common))
+    * (integer → engine-exact for the oracle). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500,
-                        maxDf: Int = 10000): DataFrame = {
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cold = sh.join(
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("shingle"),
-      Seq("shingle"), "left_anti")
+    val cold = dropHotKeys(sh, Seq("shingle"), maxDf)
     val pairs = cold.as("l").join(cold.as("r"), col("l.shingle") === col("r.shingle"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -64,12 +64,33 @@ object Dedup {
       .select("a", "b", "common", "na", "nb", "jac_milli")
   }
 
+  /** Skew guard shared by every bucket/band equi-join in the dedup/ANN
+    * suite: rows whose `keys` group occurs more than `maxDf` times are
+    * dropped from candidate GENERATION (a group of d rows materializes
+    * d² candidate pairs — quadratic in group size, which AQE cannot
+    * shrink). No-op at the default `Int.MaxValue`, so the cap is always
+    * opt-in; use the matching hot* audit to log the dropped mass first
+    * ("no silent caps"). */
+  private[operators] def dropHotKeys(df: DataFrame, keys: Seq[String],
+                                     maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) df
+    else df.join(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(keys.map(col): _*),
+      keys, "left_anti")
+
+  /** The (keys..., df) groups [[dropHotKeys]] would drop at `maxDf` —
+    * the observability side-channel behind every hot* audit. */
+  private[operators] def hotKeys(df: DataFrame, keys: Seq[String],
+                                 maxDf: Int): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** The shingles [[ngramJaccardPairs]] would drop at `maxDf` — the
     * observability side-channel for the hot-shingle cap (run it before
     * a big job to log the dropped mass). Output (shingle, df). */
   def hotShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 10000): DataFrame =
-    shingles(docs, n).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+    hotKeys(shingles(docs, n), Seq("shingle"), maxDf)
 
   /** MinHash signature: numHashes permutations h_i(s) = xxhash64(i, s),
     * signature element i = min over the doc's shingles. Returns
@@ -83,20 +104,42 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH banding: split the signature into `bands` bands of
-    * rows, bucket-join docs sharing any band hash, then verify with the
-    * signature-level Jaccard estimate ≥ `thrMilli`/1000. The classic
-    * shingle→minhash→band→bucket-join pipeline; candidate generation is
-    * a pure equi-join on (band, bucket). */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, thrMilli: Int = 500): DataFrame = {
+  /** (doc_id, sig, band, bucket) — one row per LSH band, bucket =
+    * hash of the band's signature slice. The candidate-generation key
+    * shared by [[minhashLshPairs]] and [[hotMinhashBuckets]]. */
+  def minhashBands(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, n, numHashes)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b, concat_ws(",",
             slice(col("sig"), b * lit(rows) + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** The (band, bucket, df) groups [[minhashLshPairs]] would drop at
+    * `maxBucket` — audit the skew cap before enabling it. */
+  def hotMinhashBuckets(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8, maxBucket: Int = 10000): DataFrame =
+    hotKeys(minhashBands(docs, n, numHashes, bands), Seq("band", "bucket"), maxBucket)
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * rows, bucket-join docs sharing any band hash, then verify with the
+    * signature-level Jaccard estimate ≥ `thrMilli`/1000. The classic
+    * shingle→minhash→band→bucket-join pipeline; candidate generation is
+    * a pure equi-join on (band, bucket). A degenerate corpus (many
+    * byte-identical docs) puts d docs in one bucket → d² candidates:
+    * pass `maxBucket` to drop such buckets from candidate generation
+    * (exact duplicates belong on [[exact]] anyway — run it first, as
+    * [[TrainingPipeline.cleanCorpus]] does); audit with
+    * [[hotMinhashBuckets]]. Pairs are missed only when EVERY band they
+    * agree on is hot. */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, thrMilli: Int = 500,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = dropHotKeys(minhashBands(docs, n, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -157,16 +200,13 @@ object Dedup {
       }.toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
-    * by the pigeonhole principle: split the 64 bits into maxHamming+1
-    * chunks — any pair within distance ≤ maxHamming must agree exactly
-    * on at least one chunk → candidate equi-join on (chunk index,
-    * chunk value), verified by popcount. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, simhash, chunk, v) — one row per pigeonhole chunk of the
+    * 64-bit simhash split into maxHamming+1 chunks. */
+  def simhashChunks(docs: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(c => 64 * c / nChunks)
     val sh = simhash(docs)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val lo = bounds(c); val width = bounds(c + 1) - lo
         // width == 64 (maxHamming = 0): (1L << 64) wraps to 1 in Java;
@@ -175,6 +215,38 @@ object Dedup {
         shiftright(col("simhash"), lo).bitwiseAND(mask)
       }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
+  }
+
+  /** The (chunk, v, df) buckets [[simhashPairs]] would drop at
+    * `maxBucket` — audit before enabling the cap for maxHamming ≥ 4. */
+  def hotSimhashBuckets(docs: DataFrame, maxHamming: Int,
+                        maxBucket: Int = 10000): DataFrame =
+    hotKeys(simhashChunks(docs, maxHamming), Seq("chunk", "v"), maxBucket)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
+    * by the pigeonhole principle: split the 64 bits into maxHamming+1
+    * chunks — any pair within distance ≤ maxHamming must agree exactly
+    * on at least one chunk → candidate equi-join on (chunk index,
+    * chunk value), verified by popcount.
+    *
+    * Scale bound: a chunk has 2^width distinct values (width =
+    * ⌊64/(maxHamming+1)⌋), so for uniformly-spread simhashes the
+    * candidate join materializes ≈ (maxHamming+1) · n² / 2^width pairs.
+    * At maxHamming ≤ 3 width ≥ 16 → n²/2¹⁶-ish, fine. At maxHamming = 8
+    * width is 7 → ≤128 values per chunk → quadratic in corpus size
+    * REGARDLESS of similarity — a scale-killer. The single-level
+    * pigeonhole is therefore restricted to maxHamming ≤ 3; wider radii
+    * must pass `maxBucket` (drop (chunk, v) buckets above the cap from
+    * candidate generation — bounds the join at a recall cost confined
+    * to hot buckets; audit with [[hotSimhashBuckets]]). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3 || maxBucket < Int.MaxValue,
+      s"maxHamming=$maxHamming gives chunks of ${64 / (maxHamming + 1)} bits — " +
+        "too few distinct bucket values for an uncapped candidate join; " +
+        "pass maxBucket (and audit with hotSimhashBuckets) or use maxHamming <= 3")
+    val chunked = dropHotKeys(simhashChunks(docs, maxHamming),
+      Seq("chunk", "v"), maxBucket)
     chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.v") === col("r.v") &&
         col("l.doc_id") < col("r.doc_id"))

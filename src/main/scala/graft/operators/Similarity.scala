@@ -68,13 +68,26 @@ object Similarity {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** The (band, bucket, df) groups the LSH joins would drop at
+    * `maxBucket` — audit the skew cap before enabling it (mirrors
+    * [[Dedup.hotMinhashBuckets]]). */
+  def hotLshBuckets(emb: DataFrame, nPlanes: Int = 16, bandBits: Int = 8,
+                    maxBucket: Int = 10000): DataFrame =
+    Dedup.hotKeys(lshBuckets(emb, nPlanes, bandBits), Seq("band", "bucket"), maxBucket)
+
   /** LSH-accelerated cosine top-k: candidates share an LSH bucket in at
     * least one band; exact cosine re-rank of candidates only. Recall
     * depends on nPlanes/bandBits; ANN by construction (tested ≥0.6
-    * recall@10 on the synthetic embeddings vs brute force). */
+    * recall@10 on the synthetic embeddings vs brute force). A
+    * degenerate corpus (many identical vectors) makes one bucket hold d
+    * vectors → d² candidate rows: pass `maxBucket` to drop such buckets
+    * from candidate generation (a query loses only its hot bands, not
+    * its cold ones; audit with [[hotLshBuckets]]). */
   def cosineTopKLsh(emb: DataFrame, nQueries: Int, k: Int,
-                    nPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
-    val buckets = lshBuckets(emb, nPlanes, bandBits)
+                    nPlanes: Int = 16, bandBits: Int = 8,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = Dedup.dropHotKeys(lshBuckets(emb, nPlanes, bandBits),
+      Seq("band", "bucket"), maxBucket)
     val base = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
@@ -92,6 +105,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
   }
+
+  /** Nearest-centroid assignment (squared L2) — the k-means/IVF inner
+    * kernel. Centroids ride in the UDF closure (tiny: k × dim). */
+  private def nearestCentroidUdf(cents: Array[Array[Double]]) = udf((e: Seq[Float]) => {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cent = cents(c)
+      while (i < cent.length) {
+        val diff = e(i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  })
 
   /** Deterministic Lloyd k-means over the embedding column (the IVF
     * coarse quantizer): centroids init = the first k vectors (stable),
@@ -116,23 +146,9 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(centroids.nonEmpty, "kmeans needs a non-empty embedding table")
-    def assignUdf(cents: Array[Array[Double]]) = udf((e: Seq[Float]) => {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var i = 0
-        val cent = cents(c)
-        while (i < cent.length) {
-          val diff = e(i) - cent(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
     var it = 0
     while (it < iters) {
-      val assigned = e.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+      val assigned = e.withColumn("cluster", nearestCentroidUdf(centroids)(col("embedding")))
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
@@ -144,7 +160,7 @@ object Similarity {
       it += 1
     }
     e.unpersist()
-    (emb.withColumn("cluster", assignUdf(centroids)(col("embedding")))
+    (emb.withColumn("cluster", nearestCentroidUdf(centroids)(col("embedding")))
       .select(col("vec_id"), col("cluster")), centroids)
   }
 
@@ -154,16 +170,23 @@ object Similarity {
     * (complement to the LSH variant). */
   def ivfTopK(emb: DataFrame, nQueries: Int, topK: Int,
               k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    val (clusters, cents) = kmeansWithCentroids(emb, k, iters)
+    val (_, cents) = kmeansWithCentroids(emb, k, iters)
+    // the IVF "index build": assign each corpus vector its cluster ONCE
+    // and materialize (localCheckpoint — eager, freed on GC; a real
+    // deployment commits this through IcebergLite instead). The
+    // previous emb⨝assignment join re-ran the assignment UDF over the
+    // corpus a second time.
+    val withCluster = emb
+      .withColumn("cluster", nearestCentroidUdf(cents)(col("embedding")))
+      .localCheckpoint()
     // empty clusters keep a stale (seed) centroid near real data —
     // replace with an unreachable sentinel so probes never pick them
-    val nonEmpty = clusters.groupBy("cluster").count()
+    val nonEmpty = withCluster.groupBy("cluster").count()
       .collect().map(_.getInt(0)).toSet
     val dim = cents(0).length
     val far = Array.fill(dim)(1e18)
     val centArr = Array.tabulate(cents.length)(c =>
       if (nonEmpty.contains(c)) cents(c) else far)
-    val withCluster = emb.join(clusters, Seq("vec_id"))
     val probeUdf = udf((e: Seq[Float]) => {
       centArr.indices.map { c =>
         var d = 0.0; var i = 0
@@ -190,10 +213,14 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ thrMicro/1e6) via LSH
-    * candidates — the embedding flavor of the dedup suite. */
+    * candidates — the embedding flavor of the dedup suite. `maxBucket`
+    * caps degenerate (band, bucket) groups exactly as in
+    * [[cosineTopKLsh]]; audit with [[hotLshBuckets]]. */
   def cosineNearDupPairs(emb: DataFrame, thrMicro: Long = 950000L,
-                         nPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
-    val buckets = lshBuckets(emb, nPlanes, bandBits)
+                         nPlanes: Int = 16, bandBits: Int = 8,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    val buckets = Dedup.dropHotKeys(lshBuckets(emb, nPlanes, bandBits),
+      Seq("band", "bucket"), maxBucket)
     val base = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cand = buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

@@ -29,12 +29,27 @@ class ApiSpec extends AnyFunSuite {
     val before = result.getTrees.count()
     val after = withRoi.getTrees.count()
     assert(after > 0 && after < before)
-    // all surviving crowns center inside the ROI
+    // reference _filter_roi keeps every instance whose polygon
+    // INTERSECTS the ROI (instancesegmentationresult.py:192-216):
+    // every survivor intersects, and boundary-straddling instances
+    // (bbox center OUTSIDE the ROI) are kept, not dropped
+    var boundaryKept = 0
     withRoi.getTrees.collect().foreach { r =>
+      val parts = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("parts")
+      assert(parts.exists(p => graft.geom.Geom.intersects(p.toArray, roi)))
       val cx = (r.getAs[Double]("minX") + r.getAs[Double]("maxX")) / 2
       val cy = (r.getAs[Double]("minY") + r.getAs[Double]("maxY")) / 2
-      assert(cx >= 512 && cx <= 1536 && cy >= 512 && cy <= 1536)
+      if (!(cx >= 512 && cx <= 1536 && cy >= 512 && cy <= 1536)) boundaryKept += 1
     }
+    assert(boundaryKept > 0,
+      "expected at least one boundary-straddling instance to survive the ROI filter")
+    // and no intersecting instance was dropped: survivors = exactly the
+    // trees whose polygon intersects the ROI
+    val expected = result.getTrees.collect().count { r =>
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("parts")
+        .exists(p => graft.geom.Geom.intersects(p.toArray, roi))
+    }
+    assert(after === expected.toLong)
     // valid pixel count equals the rasterized ROI area exactly
     // (1024x1024 px at gsd 8 → 128x128 cells)
     val cov = withRoi.canopyCover.collect()

@@ -70,6 +70,44 @@ class OpsSpec extends AnyFunSuite {
     (0L until 20L).foreach(i => assert(pairs.contains((i, 200L + i))))
   }
 
+  test("hot-bucket cap bounds a degenerate corpus without losing planted recall") {
+    // degenerate block: 200 byte-identical docs — uncapped LSH would
+    // put all 200 in the same (band, bucket) → 200²/2 candidate pairs
+    val degen = docs.union(spark.createDataset(
+      (1000L until 1200L).map(i => (i, "same text in every degenerate doc over and over")))
+      .toDF("doc_id", "text"))
+    // the audit surfaces the hot buckets before the cap is enabled
+    val hot = Dedup.hotMinhashBuckets(degen, maxBucket = 50).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("df") >= 200L))
+    val capped = Dedup.minhashLshPairs(degen, thrMilli = 500, maxBucket = 50)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // planted exact dups live in cold buckets → still found
+    (0L until 20L).foreach(i => assert(capped.contains((i, 200L + i))))
+    // the degenerate block's pairs are dropped (its buckets were hot),
+    // so the join stays bounded instead of materializing ~20k pairs
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L })
+  }
+
+  test("simhash maxHamming ≥ 4 demands the bucket cap; capped run keeps exact dups") {
+    intercept[IllegalArgumentException](Dedup.simhashPairs(docs, maxHamming = 8))
+    val audit = Dedup.hotSimhashBuckets(docs, maxHamming = 8, maxBucket = 5).collect()
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8, maxBucket = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(i => assert(pairs.contains((i, 200L + i))))
+    // and the audit is consistent: buckets above the cap exist iff some
+    // (chunk, v) group holds > maxBucket docs
+    audit.foreach(r => assert(r.getAs[Long]("df") > 5L))
+  }
+
+  test("embedding LSH cap drops degenerate identical-vector buckets") {
+    val emb = spark.createDataset((0L until 100L).map(i =>
+      (i, Seq.fill(64)(0.5f)))).toDF("vec_id", "embedding")
+    assert(Similarity.hotLshBuckets(emb, maxBucket = 50).count() > 0)
+    // uncapped: 100 identical vectors → 4950 pairs; capped: zero
+    assert(Similarity.cosineNearDupPairs(emb, thrMicro = 900000L, maxBucket = 50).count() === 0L)
+    assert(Similarity.cosineNearDupPairs(emb, thrMicro = 900000L).count() === 4950L)
+  }
+
   test("LSH cosine top-k: recall ≥ 0.5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.cosineTopK(emb, nQueries = 10, k = 10)

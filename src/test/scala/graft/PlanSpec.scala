@@ -121,9 +121,39 @@ class PlanSpec extends AnyFunSuite {
     assert(ring1 !== exact)
   }
 
+  test("cell decode is a codegen'd expression — no ScalaUDF in the cell-agg plans") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("geo_cell_agg", "geo_cell_salted").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = planOf(df)
+      assert(!plan.contains("UDF"), s"$q plan still has a UDF node:\n$plan")
+      // executedPlan's toString elides aggregate result expressions —
+      // the optimized plan shows the CellCoord decodes
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cell_ix") && opt.contains("cell_iy"),
+        s"$q missing the CellCoord expressions:\n$opt")
+    }
+    // encode→decode round trip in pure column space
+    import spark.implicits._
+    val df = spark.range(1000).toDF("i")
+      .withColumn("x", (col("i") % 211).cast("double") * 9.7)
+      .withColumn("y", (col("i") % 197).cast("double") * 10.3)
+      .withColumn("cell", cell_encode(col("x"), col("y"), 8, 2048.0, 2048.0))
+      .select(col("x"), col("y"), cell_ix(col("cell")).as("ix"), cell_iy(col("cell")).as("iy"))
+    df.as[(Double, Double, Long, Long)].collect().foreach { case (x, y, ix, iy) =>
+      assert(ix === math.floor(x / 8).toLong && iy === math.floor(y / 8).toLong)
+    }
+  }
+
   test("q1 aggregate uses partial aggregation (two HashAggregate phases)") {
     val df = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
     assert("HashAggregate".r.findAllMatchIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("flagship entry is the fused one-shuffle pipeline") {
+    val plan = planOf(SparkEntry.entry(spark))
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(shuffles === 1, s"expected exactly one shuffle Exchange:\n$plan")
   }
 }
