@@ -20,6 +20,17 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** xor of xxhash64 over EVERY output column — the per-query bench
+    * checksum, shared with QueryGoldenSpec's committed goldens so the
+    * measured artifact and the verified artifact are the same hash.
+    * Order-independent (xor) and covers all columns (a bare count()
+    * would let Catalyst prune the operator under test away). */
+  def outputHash(df: DataFrame): Long = {
+    val row = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   /** Pages with 4× core overpartitioning — the realistic 100-TB shape
     * (way more splits than slots) and straggler insurance: with one
     * partition per core a single externally-slowed task stretches the
@@ -91,9 +102,7 @@ object Bench {
       // invisible in the per-query numbers
       val (ok, sec) = time {
         try {
-          val df = fn(spark, sfDir)
-          df.select(xxhash64(df.columns.map(col): _*).as("h"))
-            .agg(expr("bit_xor(h)")).head()
+          outputHash(fn(spark, sfDir))
           true
         } catch {
           case e: Throwable =>
