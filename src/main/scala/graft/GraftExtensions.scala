@@ -54,7 +54,11 @@ object GraftExtensions {
       dbl("st_affine", 3, args(3)), dbl("st_affine", 4, args(4)),
       dbl("st_affine", 5, args(5)), dbl("st_affine", 6, args(6)))),
     "poly_iou" -> ((args: Seq[Expression]) => PolyIoU(args(0), args(1))),
-    "poly_rle" -> ((args: Seq[Expression]) => PolyRLE(args(0))))
+    "poly_rle" -> ((args: Seq[Expression]) => PolyRLE(args(0))),
+    "st_union" -> ((args: Seq[Expression]) => STUnion(args(0), args(1))),
+    "st_intersection" -> ((args: Seq[Expression]) => STIntersection(args(0), args(1))),
+    "st_difference" -> ((args: Seq[Expression]) => STDifference(args(0), args(1))),
+    "st_make_valid" -> ((args: Seq[Expression]) => STMakeValid(args(0))))
 
   /** Register on an already-built session (extensions only run at
     * session construction). */

@@ -125,6 +125,72 @@ case class STIntersects(a: Expression, b: Expression)
     copy(a = l, b = r)
 }
 
+/** Exact vector overlay ops (U2 ∪/∩/−, shapely union/intersection/
+  * difference analogues, reference scripts/merge.py:63,92): two simple
+  * polygons in, traced result rings out (outer CCW, holes CW, EXACT
+  * vertices — original coordinates bit-identical, crossings at the
+  * double-precision intersection points). CodegenFallback like the
+  * rest of the geometry math — the kernel is [[graft.geom.Overlay]]. */
+abstract class OverlayBinaryOp extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected def op(a: Seq[Array[Double]], b: Seq[Array[Double]]): Seq[Array[Double]]
+  override protected def nullSafeEval(av: Any, bv: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      op(Seq(av.asInstanceOf[ArrayData].toDoubleArray()),
+         Seq(bv.asInstanceOf[ArrayData].toDoubleArray()))
+        .map(r => UnsafeArrayData.fromPrimitiveArray(r): Any).toArray)
+}
+
+case class STUnion(a: Expression, b: Expression) extends OverlayBinaryOp {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def prettyName: String = "st_union"
+  override protected def op(x: Seq[Array[Double]], y: Seq[Array[Double]]): Seq[Array[Double]] =
+    graft.geom.Overlay.unionOf(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+case class STIntersection(a: Expression, b: Expression) extends OverlayBinaryOp {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def prettyName: String = "st_intersection"
+  override protected def op(x: Seq[Array[Double]], y: Seq[Array[Double]]): Seq[Array[Double]] =
+    graft.geom.Overlay.intersection(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+case class STDifference(a: Expression, b: Expression) extends OverlayBinaryOp {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def prettyName: String = "st_difference"
+  override protected def op(x: Seq[Array[Double]], y: Seq[Array[Double]]): Seq[Array[Double]] =
+    graft.geom.Overlay.difference(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+/** shapely-faithful buffer(0): valid ring unchanged, invalid ring
+  * resolved to its even-odd interior with exact coordinates
+  * ([[graft.geom.Geom.makeValid]], util.py:99-104). */
+case class STMakeValid(geom: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def child: Expression = geom
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_make_valid"
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.geom.Geom.makeValid(Seq(v.asInstanceOf[ArrayData].toDoubleArray()))
+        .map(r => UnsafeArrayData.fromPrimitiveArray(r): Any).toArray)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(geom = c)
+}
+
 /** Exact IoU for convex polygons (clip + inclusion-exclusion) — the
   * residual predicate of the IoU dedup join (instanceprocessor.py
   * 265-294 semantics over convex crowns). */

@@ -41,6 +41,19 @@ package object functions {
   def poly_iou(a: Column, b: Column): Column =
     toCol(PolyIoU(toExpr(a), toExpr(b)))
 
+  /** Exact polygon union → result rings (outer CCW, holes CW). */
+  def st_union(a: Column, b: Column): Column =
+    toCol(STUnion(toExpr(a), toExpr(b)))
+
+  def st_intersection(a: Column, b: Column): Column =
+    toCol(STIntersection(toExpr(a), toExpr(b)))
+
+  def st_difference(a: Column, b: Column): Column =
+    toCol(STDifference(toExpr(a), toExpr(b)))
+
+  /** buffer(0) analogue: valid ring unchanged, invalid resolved exactly. */
+  def st_make_valid(poly: Column): Column = toCol(STMakeValid(toExpr(poly)))
+
   def st_area(poly: Column): Column = toCol(STArea(toExpr(poly)))
 
   def st_affine(poly: Column, a: Double, b: Double, d: Double, e: Double,

@@ -270,6 +270,64 @@ object Geom {
     false
   }
 
+  /** Whether a ring is simple: no two non-adjacent edges strictly
+    * cross. O(n²) pairwise — a per-geometry local kernel, like the
+    * overlay it gates. (Tangential touches and collinear overlaps are
+    * not flagged; strict crossing is the invalidity class buffer(0)
+    * repairs — util.py:99-104.) */
+  def isSimpleRing(c: Array[Double]): Boolean = {
+    val n = c.length / 2
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = i + 2
+      while (j < n) {
+        val j2 = (j + 1) % n
+        if (j2 != i &&
+          segmentsCross(c(2 * i), c(2 * i + 1), c(2 * i2), c(2 * i2 + 1),
+                        c(2 * j), c(2 * j + 1), c(2 * j2), c(2 * j2 + 1))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Whether any edge of ring `a` strictly crosses any edge of `b`. */
+  def ringsCross(a: Array[Double], b: Array[Double]): Boolean = {
+    val n = a.length / 2; val m = b.length / 2
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = 0
+      while (j < m) {
+        val j2 = (j + 1) % m
+        if (segmentsCross(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+                          b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** shapely-faithful buffer(0) validity fix (reference util.py:99-104:
+    * `if not all_polygons.is_valid: buffer(0)`): applied ONLY when the
+    * geometry is invalid — valid ring sets pass through UNCHANGED
+    * (coordinates bit-identical, sub-pixel geometry preserved).
+    * Invalid input (self-intersecting ring, or rings crossing each
+    * other) is resolved to its even-odd interior by the exact vector
+    * overlay, so output vertices are the exact self-intersection
+    * points, not grid-quantized ones (Raster.makeValid remains the
+    * mask-space variant for pixel-origin geometry). */
+  def makeValid(rings: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val rs = rings.filter(_.length >= 6)
+    val valid = rs.forall(isSimpleRing) &&
+      !rs.combinations(2).exists { case Seq(a, b) => ringsCross(a, b) }
+    if (valid) rs else Overlay.resolve(rs)
+  }
+
   private def segmentsCross(ax: Double, ay: Double, bx: Double, by: Double,
                             cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     def o(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =

@@ -273,14 +273,18 @@ object Raster {
     out
   }
 
-  /** buffer(0)-style validity fix under mask semantics (reference
+  /** buffer(0)-style validity fix under MASK semantics (reference
     * util.py:99-104: `if not all_polygons.is_valid: buffer(0)`): a
     * self-intersecting / pinched ring set is resolved by rasterizing it
     * over its integer-snapped bbox and re-tracing — the even-odd
     * interior is what survives, which is buffer(0)'s resolution of a
-    * bowtie at pixel resolution (masks are the engine's source
-    * geometry). Returns one hole-aware ring list per resulting
-    * component, in the input's global coordinates. */
+    * bowtie at pixel resolution. Use ONLY for pixel-origin geometry:
+    * input is quantized to the integer pixel grid unconditionally, so
+    * sub-pixel rings vanish and valid input does not pass through
+    * unchanged — [[Geom.makeValid]] is the exact vector variant that
+    * gates on validity and preserves coordinates. Returns one
+    * hole-aware ring list per resulting component, in the input's
+    * global coordinates. */
   def makeValid(rings: Seq[Array[Double]]): Seq[Seq[Array[Double]]] = {
     val boxes = rings.filter(_.length >= 6).map(Geom.BBox.ofPolygon)
     if (boxes.isEmpty) return Seq.empty
