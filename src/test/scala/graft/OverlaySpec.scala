@@ -171,6 +171,28 @@ class OverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("st_union_agg: true Aggregator union equals the local overlay, across partitions") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 overlapping squares per group → buffer compaction (CompactAt=32)
+    // exercises the map-side-combine path; 8 partitions force merges
+    val rows = for (g <- 0 until 3; i <- 0 until 40) yield {
+      val x0 = 10.0 * g * 100 + i * 2.5; val y0 = i * 1.75
+      (g, Seq(x0, y0, x0 + 6.5, y0, x0 + 6.5, y0 + 6.5, x0, y0 + 6.5))
+    }
+    val df = spark.createDataset(rows).toDF("g", "poly").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.UnionAggApi.st_union_agg(col("poly")).as("u"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray)).toMap
+    (0 until 3).foreach { g =>
+      val local = Overlay.union(rows.filter(_._1 == g).map(_._2.toArray))
+      assert(math.abs(Overlay.areaOf(got(g).toSeq) - Overlay.areaOf(local)) < 1e-6,
+        s"group $g aggregate union drifted from local overlay")
+    }
+  }
+
   test("SQL surface: st_union / st_intersection / st_difference / st_make_valid") {
     val spark = SparkTestBase.spark
     GraftExtensions.register(spark)
