@@ -28,11 +28,7 @@ object UnionAgg extends Aggregator[Seq[Double], Seq[Seq[Seq[Double]]], Seq[Seq[D
   private val CompactAt = 32
 
   private def unionGroups(groups: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
-    Overlay.overlay(
-      groups.map(_.map(_.toArray)).toIndexedSeq,
-      cov => { var i = 0; var any = false
-        while (!any && i < cov.length) { any = cov(i); i += 1 }; any })
-      .map(_.toSeq)
+    Overlay.unionGroups(groups.map(_.map(_.toArray)).toIndexedSeq).map(_.toSeq)
 
   override def zero: Seq[Seq[Seq[Double]]] = Nil
 

@@ -247,9 +247,13 @@ object Geom {
     out
   }
 
-  /** Whether two simple polygons intersect: bbox gate, then vertex
-    * containment either way, then edge-pair crossing. The exact-refine
-    * step behind the cell-candidate join (replaces rtree + shapely
+  /** Whether two simple polygons intersect, TOUCH-INCLUSIVE like
+    * shapely `intersects` (boundary contact counts): bbox gate, vertex
+    * containment either way, then edge-pair contact including collinear
+    * overlap and endpoint/T-junction touches — a strict-crossing-only
+    * edge test silently drops pixel-aligned polygons whose only contact
+    * is a shared collinear edge. The exact-refine step behind the
+    * cell-candidate join and the ROI filter (replaces rtree + shapely
     * `intersects`, instanceprocessor.py:182-196). */
   def intersects(a: Array[Double], b: Array[Double]): Boolean = {
     if (!BBox.ofPolygon(a).intersects(BBox.ofPolygon(b))) return false
@@ -261,13 +265,35 @@ object Geom {
       var j = 0
       while (j < m) {
         val j2 = (j + 1) % m
-        if (segmentsCross(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
+        if (segmentsTouch(a(2 * i), a(2 * i + 1), a(2 * i2), a(2 * i2 + 1),
                           b(2 * j), b(2 * j + 1), b(2 * j2), b(2 * j2 + 1))) return true
         j += 1
       }
       i += 1
     }
     false
+  }
+
+  /** Inclusive segment intersection: proper crossings PLUS collinear
+    * overlaps and endpoint/T-junction touches (CLRS segment-intersect
+    * with the d == 0 on-segment cases). */
+  private def segmentsTouch(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def o(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def on(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+      math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    val d1 = o(cx, cy, dx, dy, ax, ay)
+    val d2 = o(cx, cy, dx, dy, bx, by)
+    val d3 = o(ax, ay, bx, by, cx, cy)
+    val d4 = o(ax, ay, bx, by, dx, dy)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    (d1 == 0 && on(cx, cy, dx, dy, ax, ay)) ||
+    (d2 == 0 && on(cx, cy, dx, dy, bx, by)) ||
+    (d3 == 0 && on(ax, ay, bx, by, cx, cy)) ||
+    (d4 == 0 && on(ax, ay, bx, by, dx, dy))
   }
 
   /** Whether a ring is simple: no two non-adjacent edges strictly

@@ -40,7 +40,12 @@ object Overlay {
     * polygon): shapely `unary_union` analogue. Returns traced rings,
     * outer CCW / holes CW; total area = Σ signedArea. */
   def union(polys: Seq[Array[Double]]): Seq[Array[Double]] =
-    overlay(polys.map(Seq(_)).toIndexedSeq, cov => {
+    unionGroups(polys.map(Seq(_)).toIndexedSeq)
+
+  /** n-ary union of polygon-with-holes groups (any-coverage keep) —
+    * shared by [[union]] and the `st_union_agg` Aggregator. */
+  def unionGroups(groups: IndexedSeq[Seq[Array[Double]]]): Seq[Array[Double]] =
+    overlay(groups, cov => {
       var i = 0; var any = false
       while (!any && i < cov.length) { any = cov(i); i += 1 }
       any

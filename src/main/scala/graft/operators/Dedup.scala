@@ -88,8 +88,11 @@ object Dedup {
 
   /** The shingles [[ngramJaccardPairs]] would drop at `maxDf` — the
     * observability side-channel for the hot-shingle cap (run it before
-    * a big job to log the dropped mass). Output (shingle, df). */
-  def hotShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 10000): DataFrame =
+    * a big job to log the dropped mass). `maxDf` has no default on
+    * purpose: pass the SAME value you pass to the pair job, so the
+    * audit can never disagree with the cap actually applied. Output
+    * (shingle, df). */
+  def hotShingles(docs: DataFrame, n: Int, maxDf: Int): DataFrame =
     hotKeys(shingles(docs, n), Seq("shingle"), maxDf)
 
   /** MinHash signature: numHashes permutations h_i(s) = xxhash64(i, s),
@@ -121,7 +124,7 @@ object Dedup {
   /** The (band, bucket, df) groups [[minhashLshPairs]] would drop at
     * `maxBucket` — audit the skew cap before enabling it. */
   def hotMinhashBuckets(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8, maxBucket: Int = 10000): DataFrame =
+                        bands: Int = 8, maxBucket: Int): DataFrame =
     hotKeys(minhashBands(docs, n, numHashes, bands), Seq("band", "bucket"), maxBucket)
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
@@ -220,7 +223,7 @@ object Dedup {
   /** The (chunk, v, df) buckets [[simhashPairs]] would drop at
     * `maxBucket` — audit before enabling the cap for maxHamming ≥ 4. */
   def hotSimhashBuckets(docs: DataFrame, maxHamming: Int,
-                        maxBucket: Int = 10000): DataFrame =
+                        maxBucket: Int): DataFrame =
     hotKeys(simhashChunks(docs, maxHamming), Seq("chunk", "v"), maxBucket)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found

@@ -72,7 +72,7 @@ object Similarity {
     * `maxBucket` — audit the skew cap before enabling it (mirrors
     * [[Dedup.hotMinhashBuckets]]). */
   def hotLshBuckets(emb: DataFrame, nPlanes: Int = 16, bandBits: Int = 8,
-                    maxBucket: Int = 10000): DataFrame =
+                    maxBucket: Int): DataFrame =
     Dedup.hotKeys(lshBuckets(emb, nPlanes, bandBits), Seq("band", "bucket"), maxBucket)
 
   /** LSH-accelerated cosine top-k: candidates share an LSH bucket in at

@@ -46,12 +46,18 @@ object ShapefileIO {
 
     val out = Seq.newBuilder[ShpRecord]
     var pos = 100
-    val end = math.min(bytes.length, fileWords * 2)
+    // length math in Long: fileWords * 2 overflows Int past 1 GiB
+    val end = math.min(bytes.length.toLong, fileWords.toLong * 2).toInt
     while (pos + 8 <= end) {
       buf.order(ByteOrder.BIG_ENDIAN)
       val recNum = buf.getInt(pos)
       val contentWords = buf.getInt(pos + 4)
       val content = pos + 8
+      // malformed header guard: content length below the 4-byte shape
+      // type, or running past the buffer, would stall or overrun the
+      // scan — stop parsing rather than spin
+      if (contentWords < 2 || content.toLong + contentWords.toLong * 2 > end)
+        return out.result()
       buf.order(ByteOrder.LITTLE_ENDIAN)
       val recType = buf.getInt(content)
       if (recType == PolygonType) {
@@ -87,27 +93,37 @@ object ShapefileIO {
 
   /** Serialize polygon records to shapefile bytes (round-trip tested).
     * Rings are written as given; callers follow the CW-outer/CCW-hole
-    * convention for interoperability. */
+    * convention for interoperability. Degenerate rings (< 3 vertices)
+    * are dropped; a record left ringless — e.g. a MergedCrown produced
+    * with emitGeom = false — becomes a spec-legal Null Shape (type 0)
+    * record instead of crashing the writer. */
   def write(records: Seq[ShpRecord]): Array[Byte] = {
-    val bodies = records.map { r =>
-      val numPoints = r.rings.map(_.length / 2 + 1).sum // +1: close each ring
-      val contentBytes = 4 + 32 + 4 + 4 + 4 * r.rings.size + 16 * numPoints
-      val b = ByteBuffer.allocate(contentBytes).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(PolygonType)
-      val xs = r.rings.flatMap(_.grouped(2).map(_(0)))
-      val ys = r.rings.flatMap(_.grouped(2).map(_(1)))
-      b.putDouble(xs.min); b.putDouble(ys.min); b.putDouble(xs.max); b.putDouble(ys.max)
-      b.putInt(r.rings.size); b.putInt(numPoints)
-      var start = 0
-      r.rings.foreach { ring => b.putInt(start); start += ring.length / 2 + 1 }
-      r.rings.foreach { ring =>
-        var k = 0
-        while (k < ring.length / 2) {
-          b.putDouble(ring(2 * k)); b.putDouble(ring(2 * k + 1)); k += 1
+    val bodies = records.map { r0 =>
+      val rings = r0.rings.filter(_.length >= 6)
+      if (rings.isEmpty) {
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0) // Null Shape
+        (r0.recordNum, b.array())
+      } else {
+        val numPoints = rings.map(_.length / 2 + 1).sum // +1: close each ring
+        val contentBytes = 4 + 32 + 4 + 4 + 4 * rings.size + 16 * numPoints
+        val b = ByteBuffer.allocate(contentBytes).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(PolygonType)
+        val xs = rings.flatMap(_.grouped(2).map(_(0)))
+        val ys = rings.flatMap(_.grouped(2).map(_(1)))
+        b.putDouble(xs.min); b.putDouble(ys.min); b.putDouble(xs.max); b.putDouble(ys.max)
+        b.putInt(rings.size); b.putInt(numPoints)
+        var start = 0
+        rings.foreach { ring => b.putInt(start); start += ring.length / 2 + 1 }
+        rings.foreach { ring =>
+          var k = 0
+          while (k < ring.length / 2) {
+            b.putDouble(ring(2 * k)); b.putDouble(ring(2 * k + 1)); k += 1
+          }
+          b.putDouble(ring(0)); b.putDouble(ring(1)) // close the ring
         }
-        b.putDouble(ring(0)); b.putDouble(ring(1)) // close the ring
+        (r0.recordNum, b.array())
       }
-      (r.recordNum, b.array())
     }
     val totalBytes = 100 + bodies.map(8 + _._2.length).sum
     val buf = ByteBuffer.allocate(totalBytes)
@@ -115,8 +131,9 @@ object ShapefileIO {
     buf.putInt(FileCode); buf.position(24); buf.putInt(totalBytes / 2)
     buf.order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(Version); buf.putInt(PolygonType)
-    val allX = records.flatMap(_.rings).flatMap(_.grouped(2).map(_(0)))
-    val allY = records.flatMap(_.rings).flatMap(_.grouped(2).map(_(1)))
+    val written = records.flatMap(_.rings.filter(_.length >= 6))
+    val allX = written.flatMap(_.grouped(2).map(_(0)))
+    val allY = written.flatMap(_.grouped(2).map(_(1)))
     if (allX.nonEmpty) {
       buf.putDouble(allX.min); buf.putDouble(allY.min)
       buf.putDouble(allX.max); buf.putDouble(allY.max)

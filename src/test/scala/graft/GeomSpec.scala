@@ -41,6 +41,25 @@ class GeomSpec extends AnyFunSuite {
     assert(!Geom.containsPoint(ell, 8.0, 8.0))
   }
 
+  test("intersects is touch-inclusive (shapely semantics): collinear edge contact counts") {
+    // ROI mostly inside the instance, but its first vertex sits ON the
+    // instance boundary and all edge contact is collinear/endpoint —
+    // a strict-crossing test returns false and drops a genuinely
+    // overlapping instance
+    val inst = unitSquare // [0,10]²
+    val roi = Array(10.0, 2.0, 10.0, 8.0, 5.0, 8.0, 5.0, 2.0)
+    assert(Geom.intersects(inst, roi) && Geom.intersects(roi, inst))
+    // edge-adjacent squares touch (shapely intersects=true for touching)
+    val right = Array(10.0, 0.0, 20.0, 0.0, 20.0, 10.0, 10.0, 10.0)
+    assert(Geom.intersects(inst, right))
+    // corner-touching squares touch
+    val corner = Array(10.0, 10.0, 20.0, 10.0, 20.0, 20.0, 10.0, 20.0)
+    assert(Geom.intersects(inst, corner))
+    // fully disjoint stays false
+    val far = Array(30.0, 30.0, 40.0, 30.0, 40.0, 40.0, 30.0, 40.0)
+    assert(!Geom.intersects(inst, far))
+  }
+
   test("convex hull of points inside a square is the square") {
     val pts = Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 5.0, 5.0, 3.0, 7.0)
     val hull = Geom.convexHull(pts)

@@ -43,6 +43,24 @@ class ShapefileSpec extends AnyFunSuite {
     assert(bb.getInt(100) === 1)
   }
 
+  test("robustness: empty-ring records become Null Shapes; malformed bytes don't hang") {
+    // ringless record (e.g. MergedCrown with emitGeom=false) → Null Shape
+    val bytes = ShapefileIO.write(Seq(
+      ShpRecord(1, Seq.empty), ShpRecord(2, Seq(square)), ShpRecord(3, Seq(Array(1.0, 2.0)))))
+    val back = ShapefileIO.parse(bytes)
+    assert(back.map(_.recordNum) === Seq(2)) // null shapes skipped on read
+    // corrupt record header (negative content length) stops cleanly
+    // instead of spinning or OOMing
+    val good = ShapefileIO.write(Seq(ShpRecord(1, Seq(square)), ShpRecord(2, Seq(square))))
+    val corrupt = good.clone()
+    val firstLen = java.nio.ByteBuffer.wrap(good).getInt(104) // record 1 content words
+    val rec2 = 100 + 8 + firstLen * 2
+    java.nio.ByteBuffer.wrap(corrupt).putInt(rec2 + 4, -4)
+    assert(ShapefileIO.parse(corrupt).map(_.recordNum) === Seq(1))
+    // truncated file parses the complete prefix
+    assert(ShapefileIO.parse(good.take(good.length - 10)).map(_.recordNum) === Seq(1))
+  }
+
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
     import spark.implicits._
     val crowns = graft.operators.CrownOps.synthesize(spark,

@@ -14,7 +14,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 for mode in n 4n; do
   procs=$BASE; [ "$mode" = "4n" ] && procs=$((BASE * 4))
   SPARK_GRAFT_BASE_CORES=$BASE java -Xmx${SPARK_DRIVER_MEM:-16g} \
-    -XX:ActiveProcessorCount=$procs $AO \
+    -XX:ActiveProcessorCount=$procs ${SPARK_GC:+-XX:+Use${SPARK_GC}GC} $AO \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.ScalingBench $NA $NP $R $mode 2>/dev/null | grep '^{'
 done
