@@ -260,6 +260,24 @@ object SparkEntry {
       Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
         .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
 
+    // --- REAL multimodal decode (JDK codecs, zero external deps):
+    // payloads are deterministic PNGs/WAVs synthesized in-memory
+    // (MediaGen), decoded back with javax.imageio / javax.sound; the
+    // oracle recomputes the closed-form channel/sample sums in pure
+    // SQL, so the hash compare proves the full encode→decode round
+    // trip — not just plumbing
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.decodeImageSums(s, graft.tables.MediaGen.images(s, 2000))),
+    "mm_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeWavSums(s, graft.tables.MediaGen.wavs(s, 2000))),
+    // real resize: decode → integer luma plane → the engine's own
+    // bilinear kernel (deterministic; pinned by QueryGoldenSpec)
+    "mm_resize_png" -> ((s, dir) =>
+      Multimodal.resizeMedia(s, graft.tables.MediaGen.images(s, 2000),
+          outW = 16, outH = 12, idCol = "id", payloadCol = "png")
+        .select(col("id"), xxhash64(col("resized")).as("resized_hash"),
+          length(col("resized")).cast("long").as("n_bytes"))),
+
     // --- lat/lon presentation formatting (F2, util.py:462-473):
     // pseudo lat/lon derived mod a prime (1999) so no value ever lands
     // on an exact .0005 rounding tie (Java HALF_UP vs C half-even
@@ -500,6 +518,24 @@ object SparkEntry {
       """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    // REAL media decode oracles: the closed-form pixel/sample formulas
+    // (MediaGen.red/green/blue/sample) recomputed in pure SQL — a hash
+    // match proves javax.imageio / javax.sound recovered the payload
+    // content exactly (PNG is lossless, WAV is PCM)
+    "mm_decode_png" ->
+      """SELECT i.range AS id, CAST(48 AS BIGINT) AS width,
+        |  CAST(32 AS BIGINT) AS height, 'png' AS format,
+        |  CAST(sum((i.range*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((i.range*17 + x.range*11 + y.range*5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((i.range*13 + x.range*3 + y.range*29) % 256) AS BIGINT) AS sum_b
+        |FROM range(0, 2000) i, range(0, 48) x, range(0, 32) y
+        |GROUP BY 1""".stripMargin,
+    "mm_decode_wav" ->
+      """SELECT i.range AS id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(2048 AS BIGINT) AS n_samples,
+        |  CAST(sum((i.range*31 + k.range*17) % 4096 - 2048) AS BIGINT) AS sum_samples
+        |FROM range(0, 2000) i, range(0, 2048) k
+        |GROUP BY 1""".stripMargin,
     "geo_latlon_fmt" ->
       s"""$pagesCte
          |SELECT i,

@@ -70,6 +70,39 @@ class OpsSpec extends AnyFunSuite {
     (0L until 20L).foreach(i => assert(pairs.contains((i, 200L + i))))
   }
 
+  test("JDK codecs: PNG decode recovers the exact pixel formula; JPEG/WAV decode work") {
+    import graft.operators.Multimodal.JdkCodec
+    import graft.tables.MediaGen
+    // PNG: lossless — decoded pixels equal the closed-form formula
+    val png = MediaGen.pngFor(7L)
+    assert(JdkCodec.sniff(png) === "png")
+    val img = JdkCodec.decodeImage(png).get
+    assert(img.getWidth === MediaGen.ImgW && img.getHeight === MediaGen.ImgH)
+    var ok = true
+    for (y <- 0 until MediaGen.ImgH; x <- 0 until MediaGen.ImgW) {
+      val p = img.getRGB(x, y)
+      ok &&= ((p >> 16) & 0xff) == MediaGen.red(7L, x, y) &&
+        ((p >> 8) & 0xff) == MediaGen.green(7L, x, y) &&
+        (p & 0xff) == MediaGen.blue(7L, x, y)
+    }
+    assert(ok, "PNG decode did not recover the synthesis formula")
+    // JPEG: lossy — decode works, dimensions exact (content approximate)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val jpeg = bos.toByteArray
+    assert(JdkCodec.sniff(jpeg) === "jpeg")
+    val jimg = JdkCodec.decodeImage(jpeg).get
+    assert(jimg.getWidth === MediaGen.ImgW && jimg.getHeight === MediaGen.ImgH)
+    // WAV: PCM — exact sample round trip
+    val wav = MediaGen.wavFor(7L)
+    assert(JdkCodec.sniff(wav) === "wav")
+    val Some((rate, ch, samples)) = JdkCodec.decodeWav(wav)
+    assert(rate === MediaGen.WavSampleRate && ch === 1 && samples.length === MediaGen.WavSamples)
+    assert(samples.indices.forall(k => samples(k) === MediaGen.sample(7L, k)))
+    // non-media bytes stay on the stub path
+    assert(JdkCodec.sniff("plain html text, definitely not a codec".getBytes) === "unknown")
+  }
+
   test("hot-bucket cap bounds a degenerate corpus without losing planted recall") {
     // degenerate block: 200 byte-identical docs — uncapped LSH would
     // put all 200 in the same (band, bucket) → 200²/2 candidate pairs
