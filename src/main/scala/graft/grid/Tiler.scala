@@ -56,6 +56,31 @@ object Tiler {
     out
   }
 
+  /** Python `round` (banker's / half-even) to Long. */
+  @inline private def pyRound(x: Double): Long = math.rint(x).toLong
+
+  /** Resolution guard + GSD-aware tile grid (P13 — TiledGeoImage,
+    * data/tiling.py:345-411 with imagedataset.py:100-118's fallback):
+    * with a known source GSD, source-resolution tile windows are sized
+    * `round(tileSize * scale)` / `round(overlap * scale)` where
+    * `scale = round(targetGsd / srcGsd, 6)` (Python half-even rounding
+    * in both places), so the T4 rescale path (blur + bilinear,
+    * tiling.py:425-436) lands exactly back on `tileSize`. An UNKNOWN
+    * resolution (srcGsd <= 0, reference `res[0] == 0`) degrades to the
+    * plain image grid at scale 1 — the reference's warn-and-continue
+    * behavior rather than a hard `require`. Returns (grid in SOURCE
+    * pixels, scale factor). */
+  def geoGrid(width: Long, height: Long, tileSize: Long, minOverlap: Long,
+              srcGsd: Double, targetGsd: Double): (Array[Tile], Double) = {
+    if (srcGsd <= 0)
+      return (overlappingGrid(width, height, tileSize, minOverlap), 1.0)
+    val scale = BigDecimal(targetGsd / srcGsd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val srcTile = math.max(1L, pyRound(tileSize * scale))
+    val srcOverlap = pyRound(minOverlap * scale)
+    (overlappingGrid(width, height, srcTile, srcOverlap), scale)
+  }
+
   /** Non-overlapping clamped grid (tiling.py:17-44; x-major order like
     * the reference's `for tx: for ty:` loop). Used for the output /
     * cache partitioning grid. */

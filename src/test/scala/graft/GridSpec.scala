@@ -53,6 +53,26 @@ class GridSpec extends AnyFunSuite {
     assert(tiles(0) === Tiler.Tile(0, 0, 0, 4096, 4096))
   }
 
+  test("geoGrid (P13): GSD-aware source windows + unknown-resolution fallback") {
+    // reference docstring case (tiling.py:389-392): tile 1024, src_gsd
+    // 0.05, target 0.1 → scale 2, source windows 2048²
+    val (g, scale) = Tiler.geoGrid(8192, 8192, 1024, 256, srcGsd = 0.05, targetGsd = 0.1)
+    assert(scale === 2.0)
+    assert(g.forall(t => t.maxX - t.minX === 2048L && t.maxY - t.minY === 2048L))
+    // fractional GSD: scale = round(0.1/0.07, 6) = 1.428571 (half-even),
+    // source tile = round(1024 * 1.428571) = 1463 (Python round)
+    val (g2, s2) = Tiler.geoGrid(8192, 8192, 1024, 256, srcGsd = 0.07, targetGsd = 0.1)
+    assert(s2 === 1.428571)
+    assert(g2.head.maxX - g2.head.minX === 1463L)
+    // unknown resolution (res == 0): warn-and-continue semantics — the
+    // plain grid at scale 1, not an exception (imagedataset.py:110-118)
+    val (g3, s3) = Tiler.geoGrid(2048, 2048, 1024, 256, srcGsd = 0.0, targetGsd = 0.1)
+    assert(s3 === 1.0 && g3.length === 9)
+    // matched GSD degenerates to the plain grid
+    val (g4, s4) = Tiler.geoGrid(2048, 2048, 1024, 256, srcGsd = 0.1, targetGsd = 0.1)
+    assert(s4 === 1.0 && g4.length === 9)
+  }
+
   test("overlap > tile size raises (test_tiling.py:41-44)") {
     assertThrows[IllegalArgumentException](Tiler.overlappingGrid(2048, 2048, 256, 512))
   }
