@@ -75,6 +75,34 @@ object StreamingIngest {
         })
   }
 
+  /** Streaming exact dedup — the continuous-ingest flavor of
+    * [[graft.operators.Dedup.exact]]: first-seen content hash wins
+    * across micro-batches (within a batch the minimum doc_id, matching
+    * the batch keeper policy); later duplicates are dropped. State is
+    * one boolean per distinct hash in the state store, keyed exactly
+    * like the batch groupBy — at corpus scale configure the RocksDB
+    * state store provider and the state shards by the same hash. Emits
+    * (h, keeper_doc_id) once per distinct document. */
+  def streamingDedup(docs: DataFrame): Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col("text")).as("h"), col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (h: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var keeper = Long.MaxValue
+            rows.foreach(r => if (r._2 < keeper) keeper = r._2)
+            Iterator.single((h, keeper))
+          }
+        })
+  }
+
   /** Event-time tumbling-window per-cell counts with a watermark —
     * the standard streaming aggregation shape (not required by the
     * reference; provided as the engine's streaming-agg operator). */

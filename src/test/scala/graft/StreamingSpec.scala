@@ -69,6 +69,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(delta) FROM running_counts").head().getLong(0) === 1000L)
   }
 
+  test("streaming exact dedup: first-seen wins within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.streamingDedup(docs)
+      .toDF("h", "keeper")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    // batch 1: 10 distinct texts, each duplicated once (ids 100+)
+    mem.addData((0L until 10L).map(i => (i, s"text $i")) ++
+      (0L until 10L).map(i => (100L + i, s"text $i")): _*)
+    q.processAllAvailable()
+    val out1 = spark.sql("SELECT keeper FROM stream_dedup").collect().map(_.getLong(0)).sorted
+    assert(out1.toSeq === (0L until 10L), "within-batch dedup keeps min doc_id")
+    // batch 2: 5 replays of old texts + 5 new
+    mem.addData((0L until 5L).map(i => (200L + i, s"text $i")) ++
+      (0L until 5L).map(i => (300L + i, s"new $i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out2 = spark.sql("SELECT keeper FROM stream_dedup").collect().map(_.getLong(0)).sorted
+    // cross-batch replays dropped; only the 5 new docs appended
+    assert(out2.toSeq === (0L until 10L) ++ (300L until 305L))
+    // matches the batch keeper policy on the union of all input
+    val all = ((0L until 10L).map(i => (i, s"text $i")) ++
+      (0L until 10L).map(i => (100L + i, s"text $i")) ++
+      (0L until 5L).map(i => (200L + i, s"text $i")) ++
+      (0L until 5L).map(i => (300L + i, s"new $i"))).toDF("doc_id", "text")
+    val batchKeepers = graft.operators.Dedup.exact(all)
+      .select("keeper").collect().map(_.getLong(0)).sorted
+    assert(out2.toSeq === batchKeepers.toSeq)
+  }
+
   test("watermarked windowed cell counts aggregate by event time") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
