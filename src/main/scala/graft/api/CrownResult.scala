@@ -137,21 +137,31 @@ object GraftPipeline {
 
   /** `maxPerTile` mirrors the reference model's detections-per-tile cap
     * (Detectron TEST.DETECTIONS_PER_IMAGE = 256); Int.MaxValue = no cap
-    * (keeps golden parity — the synthetic model is uncapped). */
+    * (keeps golden parity — the synthetic model is uncapped).
+    * `srcGsd`/`targetGsd` are the P13 resolution guard (pipeline.py
+    * target_gsd 0.1 m default): a mismatch sizes the tile windows in
+    * SOURCE pixels via `TileGridSpec.atGsd` so every per-tile operator
+    * (edge rejection, caps, confidence raster) runs at the window the
+    * reference model would see; unknown srcGsd (≤ 0) degrades to the
+    * plain grid, warn-and-continue style. */
   final case class Conf(nmsIou: Double = 0.7, confThr: Double = 0.3,
                         mergeIou: Double = 0.5, gsd: Int = 8,
-                        maxPerTile: Int = Int.MaxValue)
+                        maxPerTile: Int = Int.MaxValue,
+                        srcGsd: Double = 0.1, targetGsd: Double = 0.1)
 
   def predict(spark: SparkSession, pages: DataFrame,
               conf: Conf = Conf()): CrownResult = {
-    val assigned = GeoOps.assignTiles(pages)
-    val raw = CrownOps.synthesize(spark, assigned, GeoOps.TileGrid.Default)
+    val (spec, _) = graft.grid.TileGridSpec.atGsd(
+      GeoOps.TileGrid.Default.width, GeoOps.TileGrid.Default.height,
+      GeoOps.TileGrid.Default.tileSize, GeoOps.TileGrid.Default.minOverlap,
+      conf.srcGsd, conf.targetGsd)
+    val assigned = GeoOps.assignTiles(pages, spec)
+    val raw = CrownOps.synthesize(spark, assigned, spec)
     val crowns = if (conf.maxPerTile == Int.MaxValue) raw
       else CrownOps.capPerTile(raw, conf.maxPerTile)
     val merged = CrownOps.nmsMerge(spark, crowns, conf.nmsIou, conf.confThr, conf.mergeIou)
     val mosaic = RasterOps.mosaic(spark,
-      RasterOps.confidenceTiles(spark, crowns, GeoOps.TileGrid.Default, conf.gsd),
-      GeoOps.TileGrid.Default)
+      RasterOps.confidenceTiles(spark, crowns, spec, conf.gsd), spec)
     CrownResult(spark, merged.toDF(), mosaic, threshold = conf.confThr)
   }
 

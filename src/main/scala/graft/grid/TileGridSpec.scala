@@ -8,6 +8,20 @@ package graft.grid
   * Mirrors the reference grid contract (data/tiling.py:47-173); see
   * [[Tiler]] for the integer-exact linspace semantics.
   */
+object TileGridSpec {
+  /** GSD-aware grid spec (P13, TiledGeoImage): tile windows in SOURCE
+    * pixels sized by `Tiler.geoScale`, so a downstream T4 rescale
+    * (`RasterOps.resampleTiles` blur+bilinear) lands back on
+    * `tileSize`. Unknown source resolution (srcGsd <= 0) degrades to
+    * the plain grid at scale 1 (the reference's warn-and-continue).
+    * Returns (spec, scale). */
+  def atGsd(width: Long, height: Long, tileSize: Long, minOverlap: Long,
+            srcGsd: Double, targetGsd: Double): (TileGridSpec, Double) = {
+    val (srcTile, srcOverlap, scale) = Tiler.geoScale(tileSize, minOverlap, srcGsd, targetGsd)
+    (TileGridSpec(width, height, srcTile, srcOverlap), scale)
+  }
+}
+
 final case class TileGridSpec(width: Long, height: Long, tileSize: Long, minOverlap: Long)
     extends Serializable {
   require(minOverlap < tileSize, "Overlap must be less than tile size.")

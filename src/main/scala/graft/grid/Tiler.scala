@@ -72,13 +72,18 @@ object Tiler {
     * pixels, scale factor). */
   def geoGrid(width: Long, height: Long, tileSize: Long, minOverlap: Long,
               srcGsd: Double, targetGsd: Double): (Array[Tile], Double) = {
-    if (srcGsd <= 0)
-      return (overlappingGrid(width, height, tileSize, minOverlap), 1.0)
+    val (srcTile, srcOverlap, scale) = geoScale(tileSize, minOverlap, srcGsd, targetGsd)
+    (overlappingGrid(width, height, srcTile, srcOverlap), scale)
+  }
+
+  /** The GSD scaling numbers alone: (source tile, source overlap,
+    * scale) — shared by [[geoGrid]] and `TileGridSpec.atGsd`. */
+  def geoScale(tileSize: Long, minOverlap: Long,
+               srcGsd: Double, targetGsd: Double): (Long, Long, Double) = {
+    if (srcGsd <= 0) return (tileSize, minOverlap, 1.0)
     val scale = BigDecimal(targetGsd / srcGsd)
       .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-    val srcTile = math.max(1L, pyRound(tileSize * scale))
-    val srcOverlap = pyRound(minOverlap * scale)
-    (overlappingGrid(width, height, srcTile, srcOverlap), scale)
+    (math.max(1L, pyRound(tileSize * scale)), pyRound(minOverlap * scale), scale)
   }
 
   /** Non-overlapping clamped grid (tiling.py:17-44; x-major order like

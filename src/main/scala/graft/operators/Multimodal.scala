@@ -62,24 +62,26 @@ object Multimodal {
       (r, g, b)
     }
 
-    /** 8-float feature vector: w, h, mean R/G/B, luma mean/std, 0. */
+    /** 8-float feature vector: w, h, mean R/G/B, luma mean/std, 0.
+      * One bulk getRGB + one pass — this runs per image in the
+      * per-partition kernel, so pixels are fetched exactly once. */
     def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
-      val n = img.getWidth.toLong * img.getHeight
-      val (r, g, b) = channelSums(img)
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var r = 0L; var g = 0L; var b = 0L
       var lsum = 0.0; var lsum2 = 0.0
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          val l = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000.0
-          lsum += l; lsum2 += l * l
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+        r += pr; g += pg; b += pb
+        val l = (pr * 299 + pg * 587 + pb * 114) / 1000.0
+        lsum += l; lsum2 += l * l
+        i += 1
       }
       val lm = lsum / n
-      Array(img.getWidth.toFloat, img.getHeight.toFloat,
+      Array(w.toFloat, h.toFloat,
         (r.toDouble / n).toFloat, (g.toDouble / n).toFloat, (b.toDouble / n).toFloat,
         lm.toFloat, math.sqrt(math.max(0, lsum2 / n - lm * lm)).toFloat, 0f)
     }
@@ -102,14 +104,28 @@ object Multimodal {
       out
     }
 
-    /** WAV decode via javax.sound: (sampleRate, channels, PCM16 samples). */
+    /** WAV decode via javax.sound to SIGNED 16-bit PCM samples:
+      * non-PCM16 encodings (8-bit, mu-law/a-law, float) are CONVERTED
+      * through AudioSystem's codec chain rather than reinterpreted as
+      * shorts; streams whose format the JDK cannot convert (or with an
+      * unspecified channel count) return None → stub path. */
     def decodeWav(p: Array[Byte]): Option[(Int, Int, Array[Short])] =
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(p))
+        val f0 = raw.getFormat
+        if (f0.getChannels <= 0 || f0.getSampleRate <= 0) return None
+        val pcm16 = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+          f0.getSampleRate, false)
+        val in =
+          if (f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f0.getSampleSizeInBits == 16) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcm16, raw)
         val fmt = in.getFormat
         val bytes = in.readAllBytes()
-        val n = bytes.length / 2
+        val n = bytes.length / 2 // trailing odd byte (malformed) dropped
         val samples = new Array[Short](n)
         val bb = java.nio.ByteBuffer.wrap(bytes).order(
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -179,7 +195,8 @@ object Multimodal {
               StubCodec.featurize(payload))
           } else if (fmt == "wav") JdkCodec.decodeWav(payload) match {
             case Some((rate, ch, samples)) =>
-              var sumAbs = 0.0; var zc = 0
+              var sumAbs = if (samples.isEmpty) 0.0 else math.abs(samples(0).toDouble)
+              var zc = 0
               var k = 1
               while (k < samples.length) {
                 sumAbs += math.abs(samples(k).toDouble)

@@ -63,6 +63,12 @@ object ShapefileIO {
       if (recType == PolygonType) {
         val numParts = buf.getInt(content + 36)
         val numPoints = buf.getInt(content + 40)
+        // body-level guard: corrupt part/point counts would otherwise
+        // allocate huge arrays or read the NEXT record's bytes as
+        // coordinates — stop cleanly like the header guard
+        if (numParts < 0 || numPoints < 0 ||
+            4L + 40L + 4L * numParts + 16L * numPoints > contentWords.toLong * 2)
+          return out.result()
         val partsOff = content + 44
         val pointsOff = partsOff + 4 * numParts
         val starts = Array.tabulate(numParts)(p => buf.getInt(partsOff + 4 * p))

@@ -59,6 +59,26 @@ class ApiSpec extends AnyFunSuite {
     assert(full.map(_.getAs[Long]("valid_px")).sum === 256L * 256L)
   }
 
+  test("P13 end to end: GSD mismatch resizes the tile windows through the whole pipeline") {
+    // srcGsd 0.2 / targetGsd 0.1 → scale 0.5 → 512-px source windows:
+    // a 2048² world becomes a 5×5 overlapping grid instead of 3×3
+    val conf = api.GraftPipeline.Conf(srcGsd = 0.2, targetGsd = 0.1)
+    val (spec, scale) = graft.grid.TileGridSpec.atGsd(2048, 2048, 1024, 256, 0.2, 0.1)
+    assert(scale === 0.5 && spec.tileSize === 512L && spec.nTiles === 25)
+    val res = api.GraftPipeline.predict(spark,
+      graft.tables.PagesGen.pages(spark, 2000), conf)
+    assert(res.getTrees.count() > 0)
+    // per-tile operators saw 512-px windows: no crown bbox wider than a
+    // source window (crowns are clipped by edge rejection per window)
+    val wide = res.instances.filter(
+      org.apache.spark.sql.functions.col("maxX") -
+        org.apache.spark.sql.functions.col("minX") > 512).count()
+    assert(wide === 0L)
+    // default conf (matched GSD) keeps the golden 9-tile grid
+    val (d, s1) = graft.grid.TileGridSpec.atGsd(2048, 2048, 1024, 256, 0.1, 0.1)
+    assert(s1 === 1.0 && d === graft.operators.GeoOps.TileGrid.Default)
+  }
+
   test("serialise writes canonical fixtures") {
     val dir = java.nio.file.Files.createTempDirectory("crownres").toString
     result.serialise(dir)

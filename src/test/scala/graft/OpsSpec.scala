@@ -101,6 +101,20 @@ class OpsSpec extends AnyFunSuite {
     assert(samples.indices.forall(k => samples(k) === MediaGen.sample(7L, k)))
     // non-media bytes stay on the stub path
     assert(JdkCodec.sniff("plain html text, definitely not a codec".getBytes) === "unknown")
+    // 8-bit PCM WAV: decode CONVERTS through the codec chain instead of
+    // reinterpreting byte pairs as shorts — sample count is the true
+    // count and values scale to 16-bit (8-bit unsigned 0..255 → signed)
+    val dataLen8 = 100
+    val b8 = java.nio.ByteBuffer.allocate(44 + dataLen8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes); b8.putInt(36 + dataLen8); b8.put("WAVE".getBytes)
+    b8.put("fmt ".getBytes); b8.putInt(16); b8.putShort(1); b8.putShort(1)
+    b8.putInt(8000); b8.putInt(8000); b8.putShort(1); b8.putShort(8)
+    b8.put("data".getBytes); b8.putInt(dataLen8)
+    (0 until dataLen8).foreach(k => b8.put(((k * 37) % 256).toByte))
+    val Some((r8, c8, s8)) = JdkCodec.decodeWav(b8.array())
+    assert(r8 === 8000 && c8 === 1 && s8.length === dataLen8,
+      s"8-bit WAV must convert, not reinterpret: got ${s8.length} samples")
   }
 
   test("hot-bucket cap bounds a degenerate corpus without losing planted recall") {

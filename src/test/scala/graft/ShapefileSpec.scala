@@ -59,6 +59,14 @@ class ShapefileSpec extends AnyFunSuite {
     assert(ShapefileIO.parse(corrupt).map(_.recordNum) === Seq(1))
     // truncated file parses the complete prefix
     assert(ShapefileIO.parse(good.take(good.length - 10)).map(_.recordNum) === Seq(1))
+    // corrupt polygon BODY (numPoints huge / negative): clean stop, no
+    // giant allocation, no reading the next record's bytes as coords
+    val bodyCorrupt = good.clone()
+    val bb2 = java.nio.ByteBuffer.wrap(bodyCorrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(100 + 8 + 40, 1 << 30) // record 1 numPoints
+    assert(ShapefileIO.parse(bodyCorrupt).isEmpty)
+    bb2.putInt(100 + 8 + 40, -7)
+    assert(ShapefileIO.parse(bodyCorrupt).isEmpty)
   }
 
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
