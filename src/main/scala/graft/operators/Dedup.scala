@@ -96,15 +96,65 @@ object Dedup {
     hotKeys(shingles(docs, n), Seq("shingle"), maxDf)
 
   /** MinHash signature: numHashes permutations h_i(s) = xxhash64(i, s),
-    * signature element i = min over the doc's shingles. Returns
-    * (doc_id, sig ARRAY<BIGINT>). One shuffle (the groupBy). */
+    * signature element i = min over the doc's distinct shingles.
+    * Returns (doc_id, sig ARRAY<BIGINT>).
+    *
+    * ZERO-shuffle formulation: one narrow mapPartitions pass keeps a
+    * per-doc shingle hash-set and numHashes running minima — replacing
+    * the previous explode → distinct → numHashes-way min aggregation,
+    * which exchanged EVERY (doc, shingle) row through a shuffle (the
+    * dominant cost of the LSH path; at 10⁹ docs that shuffle is ~100×
+    * the corpus size). The hash chain calls Catalyst's
+    * `XxHash64Function` with the exact seed chain of the
+    * `xxhash64(lit(i), shingle)` column expression, so the output is
+    * BIT-IDENTICAL to the aggregation form — proven by the pinned
+    * dedup_minhash_lsh / corpus_clean output hashes, which did not
+    * move when this swap landed. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs, n)
-    val hashCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(hashCols.head, hashCols.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-permutation seeds: xxhash64(lit(i), s) = hash(s, hash(i, 42))
+    val seeds = Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          // literal-space regex split with limit -1 — the exact
+          // semantics of the split(col, " ") column expression
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val mins = Array.fill(numHashes)(Long.MaxValue)
+            var s = 0
+            while (s <= toks.length - n) {
+              val sb = new java.lang.StringBuilder()
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(s + k))
+                k += 1
+              }
+              val sh = sb.toString
+              if (seen.add(sh)) {
+                val utf8 = UTF8String.fromString(sh)
+                var i = 0
+                while (i < numHashes) {
+                  val h = XxHash64Function.hash(utf8, StringType, seeds(i))
+                  if (h < mins(i)) mins(i) = h
+                  i += 1
+                }
+              }
+              s += 1
+            }
+            Iterator.single((id, mins.toSeq))
+          }
+        }
+      }.toDF("doc_id", "sig")
   }
 
   /** (doc_id, sig, band, bucket) — one row per LSH band, bucket =
