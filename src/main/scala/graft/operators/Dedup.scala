@@ -17,16 +17,46 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
-  /** Distinct word-n-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word-n-gram shingles per doc: (doc_id, shingle).
+    * NARROW — "distinct per doc" is doc-local, so a per-row hash set
+    * inside mapPartitions replaces the previous explode + global
+    * `.distinct()` (which shuffled every (doc, shingle) row just to
+    * dedupe within rows that were already colocated). Shingle strings
+    * are byte-identical to the old `split(" ") → concat_ws(" ")`
+    * column formulation — the dedup_ngram_jaccard DuckDB oracle is the
+    * cross-check. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    // docs with fewer than n tokens have no shingles (and sequence(0,
-    // size-n) would descend into negative slice indices and throw)
-    docs.filter(size(toks) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("shingle"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          val toks = text.split(" ", -1) // = split(col, " ") semantics
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var s = 0
+            while (s <= toks.length - n) {
+              val sb = new java.lang.StringBuilder()
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(s + k))
+                k += 1
+              }
+              seen.add(sb.toString)
+              s += 1
+            }
+            val it = seen.iterator()
+            new Iterator[(Long, String)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, String) = (id, it.next())
+            }
+          }
+        }
+      }.toDF("doc_id", "shingle")
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ `thr` via inverted-index
@@ -49,7 +79,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500,
                         maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // per-doc distinct-shingle counts: narrow second scan of the
+    // source (no shuffle) — cheaper than aggregating the shingle rows
+    val sizes = shingleCounts(docs, n)
     val cold = dropHotKeys(sh, Seq("shingle"), maxDf)
     val pairs = cold.as("l").join(cold.as("r"), col("l.shingle") === col("r.shingle"))
       .filter(col("l.doc_id") < col("r.doc_id"))
@@ -62,6 +94,38 @@ object Dedup {
         floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("jac_milli") >= thrMilli)
       .select("a", "b", "common", "na", "nb", "jac_milli")
+  }
+
+  /** (doc_id, sz) distinct-shingle counts — the narrow companion pass
+    * of [[shingles]] (no shuffle; same tokenization). */
+  def shingleCounts(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          val toks = text.split(" ", -1)
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            var s = 0
+            while (s <= toks.length - n) {
+              val sb = new java.lang.StringBuilder()
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(s + k))
+                k += 1
+              }
+              seen.add(sb.toString)
+              s += 1
+            }
+            Iterator.single((id, seen.size.toLong))
+          }
+        }
+      }.toDF("doc_id", "sz")
   }
 
   /** Skew guard shared by every bucket/band equi-join in the dedup/ANN
