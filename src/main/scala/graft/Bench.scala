@@ -26,7 +26,7 @@ object Bench {
     * Order-independent (xor) and covers all columns (a bare count()
     * would let Catalyst prune the operator under test away). */
   def outputHash(df: DataFrame): Long = {
-    val row = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val row = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
       .agg(expr("bit_xor(h)")).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }

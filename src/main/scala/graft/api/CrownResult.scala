@@ -26,13 +26,18 @@ import graft.tables.{FixtureIO, PagesGen}
   * @param roi        optional region-of-interest polygon (flat coords,
   *                   region-local) — filters instances and masks pixels
   *                   (result/processedresult.py:77-104 set_roi)
+  * @param rasterGsd  resolution the mosaic tiles were rasterized at —
+  *                   the `cover` denominator must use the SAME gsd as
+  *                   the tile data or ppm silently skews (predict picks
+  *                   it via RasterOps.alignedGsd for scaled grids)
   */
 final case class CrownResult(
     spark: SparkSession,
     merged: DataFrame,
     mosaic: Dataset[RasterOps.ConfTile],
     threshold: Double = 0.3, // = GraftPipeline default confThr (the floor)
-    roi: Option[Array[Double]] = None) {
+    roi: Option[Array[Double]] = None,
+    rasterGsd: Int = RasterOps.DefaultGsd) {
 
   def setThreshold(t: Double): CrownResult = copy(threshold = t)
 
@@ -74,7 +79,7 @@ final case class CrownResult(
     // exist where crowns do, so summing per-tile valid pixels would
     // inflate coverage (processedresult.py:109-118 divides by all valid
     // image pixels).
-    val gsd = RasterOps.DefaultGsd
+    val gsd = rasterGsd
     val side = (GeoOps.TileGrid.ExtentX / gsd).toInt
     val validTotal: Long = roiPoly match {
       case None => side.toLong * side
@@ -160,9 +165,15 @@ object GraftPipeline {
     val crowns = if (conf.maxPerTile == Int.MaxValue) raw
       else CrownOps.capPerTile(raw, conf.maxPerTile)
     val merged = CrownOps.nmsMerge(spark, crowns, conf.nmsIou, conf.confThr, conf.mergeIou)
+    // a GSD-scaled spec can have windows/origins no fixed gsd divides
+    // (e.g. 1463-px tiles at 585-px origins) — snap to the largest
+    // aligned resolution ≤ conf.gsd so rasters and mosaic pastes stay
+    // exactly on the pixel grid (Default spec: conf.gsd unchanged)
+    val rgsd = RasterOps.alignedGsd(spec, conf.gsd)
     val mosaic = RasterOps.mosaic(spark,
-      RasterOps.confidenceTiles(spark, crowns, spec, conf.gsd), spec)
-    CrownResult(spark, merged.toDF(), mosaic, threshold = conf.confThr)
+      RasterOps.confidenceTiles(spark, crowns, spec, rgsd), spec)
+    CrownResult(spark, merged.toDF(), mosaic, threshold = conf.confThr,
+      rasterGsd = rgsd)
   }
 
   def predictPages(spark: SparkSession, nPages: Long): CrownResult =

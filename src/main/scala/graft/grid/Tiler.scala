@@ -77,13 +77,20 @@ object Tiler {
   }
 
   /** The GSD scaling numbers alone: (source tile, source overlap,
-    * scale) — shared by [[geoGrid]] and `TileGridSpec.atGsd`. */
+    * scale) — shared by [[geoGrid]] and `TileGridSpec.atGsd`. Either
+    * GSD being unknown/invalid (≤ 0) degrades to scale 1
+    * (warn-and-continue), and the rounded overlap is clamped into
+    * [0, srcTile) so extreme downscales keep a VALID grid (overlap ≥
+    * tile would either crash the spec or, if negative, stride past
+    * tileSize and silently leave uncovered gaps). */
   def geoScale(tileSize: Long, minOverlap: Long,
                srcGsd: Double, targetGsd: Double): (Long, Long, Double) = {
-    if (srcGsd <= 0) return (tileSize, minOverlap, 1.0)
+    if (srcGsd <= 0 || targetGsd <= 0) return (tileSize, minOverlap, 1.0)
     val scale = BigDecimal(targetGsd / srcGsd)
       .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-    (math.max(1L, pyRound(tileSize * scale)), pyRound(minOverlap * scale), scale)
+    val srcTile = math.max(1L, pyRound(tileSize * scale))
+    val srcOverlap = math.min(srcTile - 1, math.max(0L, pyRound(minOverlap * scale)))
+    (srcTile, srcOverlap, scale)
   }
 
   /** Non-overlapping clamped grid (tiling.py:17-44; x-major order like

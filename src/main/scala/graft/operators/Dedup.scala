@@ -17,6 +17,32 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
+  /** Tokenize exactly like the `split(col, " ")` column expression
+    * (literal-space regex, limit -1) and visit every n-gram shingle in
+    * order, repeats included. Returns false — visiting nothing — for
+    * null text or docs with fewer than n tokens, matching the old
+    * column formulation (`size(split(null, " ")) = -1` dropped the
+    * row). ONE definition of tokenization, shared by every shingle
+    * consumer, so sizes/signatures/pairs can never drift apart. */
+  private def eachShingle(text: String, n: Int)(f: String => Unit): Boolean = {
+    if (text == null) return false
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return false
+    var s = 0
+    while (s <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(s + k))
+        k += 1
+      }
+      f(sb.toString)
+      s += 1
+    }
+    true
+  }
+
   /** Distinct word-n-gram shingles per doc: (doc_id, shingle).
     * NARROW — "distinct per doc" is doc-local, so a per-row hash set
     * inside mapPartitions replaces the previous explode + global
@@ -24,36 +50,25 @@ object Dedup {
     * dedupe within rows that were already colocated). Shingle strings
     * are byte-identical to the old `split(" ") → concat_ws(" ")`
     * column formulation — the dedup_ngram_jaccard DuckDB oracle is the
-    * cross-check. */
+    * cross-check.
+    *
+    * PRECONDITION (this and every shingle consumer): `doc_id`
+    * identifies ONE row — the documents-table contract. Rows sharing a
+    * doc_id are shingled independently here, where the old global
+    * distinct merged them. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text0) =>
-          val text = if (text0 == null) "" else text0
-          val toks = text.split(" ", -1) // = split(col, " ") semantics
-          if (toks.length < n) Iterator.empty
-          else {
-            val seen = new java.util.LinkedHashSet[String]()
-            var s = 0
-            while (s <= toks.length - n) {
-              val sb = new java.lang.StringBuilder()
-              var k = 0
-              while (k < n) {
-                if (k > 0) sb.append(' ')
-                sb.append(toks(s + k))
-                k += 1
-              }
-              seen.add(sb.toString)
-              s += 1
-            }
-            val it = seen.iterator()
-            new Iterator[(Long, String)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, String) = (id, it.next())
-            }
+        rows.flatMap { case (id, text) =>
+          val seen = new java.util.LinkedHashSet[String]()
+          eachShingle(text, n)(sh => { seen.add(sh); () })
+          val it = seen.iterator()
+          new Iterator[(Long, String)] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, String) = (id, it.next())
           }
         }
       }.toDF("doc_id", "shingle")
@@ -97,33 +112,19 @@ object Dedup {
   }
 
   /** (doc_id, sz) distinct-shingle counts — the narrow companion pass
-    * of [[shingles]] (no shuffle; same tokenization). */
+    * of [[shingles]] (no shuffle; [[eachShingle]] tokenization, so the
+    * two cannot drift). */
   def shingleCounts(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text0) =>
-          val text = if (text0 == null) "" else text0
-          val toks = text.split(" ", -1)
-          if (toks.length < n) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            var s = 0
-            while (s <= toks.length - n) {
-              val sb = new java.lang.StringBuilder()
-              var k = 0
-              while (k < n) {
-                if (k > 0) sb.append(' ')
-                sb.append(toks(s + k))
-                k += 1
-              }
-              seen.add(sb.toString)
-              s += 1
-            }
+        rows.flatMap { case (id, text) =>
+          val seen = new java.util.HashSet[String]()
+          if (eachShingle(text, n)(sh => { seen.add(sh); () }))
             Iterator.single((id, seen.size.toLong))
-          }
+          else Iterator.empty
         }
       }.toDF("doc_id", "sz")
   }
@@ -185,38 +186,21 @@ object Dedup {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, text0) =>
-          val text = if (text0 == null) "" else text0
-          // literal-space regex split with limit -1 — the exact
-          // semantics of the split(col, " ") column expression
-          val toks = text.split(" ", -1)
-          if (toks.length < n) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            val mins = Array.fill(numHashes)(Long.MaxValue)
-            var s = 0
-            while (s <= toks.length - n) {
-              val sb = new java.lang.StringBuilder()
-              var k = 0
-              while (k < n) {
-                if (k > 0) sb.append(' ')
-                sb.append(toks(s + k))
-                k += 1
+        rows.flatMap { case (id, text) =>
+          val seen = new java.util.HashSet[String]()
+          val mins = Array.fill(numHashes)(Long.MaxValue)
+          val any = eachShingle(text, n) { sh =>
+            if (seen.add(sh)) {
+              val utf8 = UTF8String.fromString(sh)
+              var i = 0
+              while (i < numHashes) {
+                val h = XxHash64Function.hash(utf8, StringType, seeds(i))
+                if (h < mins(i)) mins(i) = h
+                i += 1
               }
-              val sh = sb.toString
-              if (seen.add(sh)) {
-                val utf8 = UTF8String.fromString(sh)
-                var i = 0
-                while (i < numHashes) {
-                  val h = XxHash64Function.hash(utf8, StringType, seeds(i))
-                  if (h < mins(i)) mins(i) = h
-                  i += 1
-                }
-              }
-              s += 1
             }
-            Iterator.single((id, mins.toSeq))
           }
+          if (any) Iterator.single((id, mins.toSeq)) else Iterator.empty
         }
       }.toDF("doc_id", "sig")
   }

@@ -42,9 +42,29 @@ object Multimodal {
     def isImage(fmt: String): Boolean =
       fmt == "png" || fmt == "jpeg" || fmt == "gif" || fmt == "bmp"
 
+    /** Dimension cap: a decompression-bomb payload (a few KB declaring
+      * 65500² pixels) would otherwise allocate a multi-GB raster —
+      * OutOfMemoryError, which no Exception handler catches — or
+      * overflow Int in w*h indexing. 64 Mpx ≈ 256 MB INT_RGB. */
+    val MaxPixels = 64L * 1024 * 1024
+
     def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
-      catch { case _: Exception => None }
+      try {
+        // read declared dimensions from the header FIRST (no pixel
+        // decode), reject bombs before any allocation happens
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+          else Option(reader.read(0))
+        } finally { reader.dispose(); iis.close() }
+      } catch { case _: Exception => None }
 
     /** Exact per-channel pixel sums (the oracle-checked quantity). */
     def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
@@ -186,12 +206,17 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
+          // NOT-decodable payloads — including false sniffs like text
+          // that happens to start with "BM"/"GIF"/"RIFF" — fall back to
+          // the FULL stub row (deterministic meta + byte stats), so the
+          // stub path's behavior is independent of what the first bytes
+          // look like
           val fmt = JdkCodec.sniff(payload)
           if (JdkCodec.isImage(fmt)) JdkCodec.decodeImage(payload) match {
             case Some(img) => MediaRow(id,
               MediaMeta(img.getWidth, img.getHeight, fmt, ok = true),
               JdkCodec.imageFeatures(img))
-            case None => MediaRow(id, MediaMeta(0, 0, fmt, ok = false),
+            case None => MediaRow(id, StubCodec.decodeMeta(payload),
               StubCodec.featurize(payload))
           } else if (fmt == "wav") JdkCodec.decodeWav(payload) match {
             case Some((rate, ch, samples)) =>
@@ -206,7 +231,7 @@ object Multimodal {
               MediaRow(id, MediaMeta(samples.length / ch, ch, fmt, ok = true),
                 Array(rate.toFloat, ch.toFloat, samples.length.toFloat,
                   (sumAbs / math.max(1, samples.length)).toFloat, zc.toFloat, 0f, 0f, 0f))
-            case None => MediaRow(id, MediaMeta(0, 0, fmt, ok = false),
+            case None => MediaRow(id, StubCodec.decodeMeta(payload),
               StubCodec.featurize(payload))
           } else MediaRow(id, StubCodec.decodeMeta(payload), StubCodec.featurize(payload))
         }

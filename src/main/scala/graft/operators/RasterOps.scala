@@ -40,9 +40,30 @@ object RasterOps {
     * crown pixels get round(score×255), max-merged (paste mode 1) —
     * the deterministic analogue of the semantic model's per-tile
     * confidence output. */
+  /** Largest raster resolution ≤ `want` that divides the spec's tile
+    * size and every grid edge — keeps tile rasters and mosaic paste
+    * offsets exactly on the pixel grid for ARBITRARY specs (e.g. the
+    * GSD-scaled grids of TileGridSpec.atGsd, whose 1463-px windows and
+    * 585-px origins no fixed gsd divides). The golden Default spec
+    * returns `want` unchanged; divisors of the default want=8 also
+    * divide the 1024 cache-tile size, so mosaic stays aligned too. */
+  def alignedGsd(spec: TileGridSpec, want: Int): Int = {
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val g0 = (spec.xEdges.iterator ++ spec.yEdges.iterator)
+      .foldLeft(spec.tileSize)((g, e) => gcd(g, e))
+    math.max(1L, gcd(want.toLong, g0)).toInt
+  }
+
   def confidenceTiles(spark: SparkSession, crowns: Dataset[CrownOps.Crown],
                       spec: TileGridSpec, gsd: Int = 8): Dataset[ConfTile] = {
     import spark.implicits._
+    // an unaligned gsd would silently truncate the last tileSize % gsd
+    // source pixels of every window and shift mosaic pastes by up to
+    // gsd-1 world units — fail loud instead (callers: alignedGsd)
+    require(spec.tileSize % gsd == 0 &&
+      spec.xEdges.forall(_ % gsd == 0) && spec.yEdges.forall(_ % gsd == 0),
+      s"gsd=$gsd must divide the spec's tile size and every grid edge " +
+        s"(tile=${spec.tileSize}); pick RasterOps.alignedGsd(spec, want)")
     val cols = (spec.tileSize / gsd).toInt
     crowns.groupByKey(c => (c.region, c.tileId, c.classIdx))
       .flatMapGroups { (key: (Long, Long, Int), it: Iterator[CrownOps.Crown]) =>

@@ -72,6 +72,19 @@ object ShapefileIO {
         val partsOff = content + 44
         val pointsOff = partsOff + 4 * numParts
         val starts = Array.tabulate(numParts)(p => buf.getInt(partsOff + 4 * p))
+        // part offsets must be a non-decreasing sequence inside
+        // [0, numPoints] — anything else reads header/neighbor bytes
+        // as coordinates or throws on a negative ring size
+        var prev = 0
+        var pi = 0
+        var startsOk = true
+        while (pi < numParts) {
+          val s0 = starts(pi)
+          if (s0 < prev || s0 > numPoints) startsOk = false
+          prev = math.max(prev, s0)
+          pi += 1
+        }
+        if (!startsOk) return out.result()
         val rings = (0 until numParts).map { p =>
           val from = starts(p)
           val until = if (p + 1 < numParts) starts(p + 1) else numPoints

@@ -77,6 +77,25 @@ class ApiSpec extends AnyFunSuite {
     // default conf (matched GSD) keeps the golden 9-tile grid
     val (d, s1) = graft.grid.TileGridSpec.atGsd(2048, 2048, 1024, 256, 0.1, 0.1)
     assert(s1 === 1.0 && d === graft.operators.GeoOps.TileGrid.Default)
+    // UNALIGNED grid (1463-px windows at 585-px origins — no fixed gsd
+    // divides them): predict snaps the raster to alignedGsd (here 1)
+    // and the cover denominator follows, so ppm stays on one scale
+    val (u, _) = graft.grid.TileGridSpec.atGsd(2048, 2048, 1024, 256, 0.07, 0.1)
+    assert(u.tileSize === 1463L)
+    assert(graft.operators.RasterOps.alignedGsd(u, 8) === 1)
+    val resU = api.GraftPipeline.predict(spark,
+      graft.tables.PagesGen.pages(spark, 800),
+      api.GraftPipeline.Conf(srcGsd = 0.07, targetGsd = 0.1))
+    val covU = resU.canopyCover.collect()
+    assert(covU.map(_.getAs[Long]("valid_px")).sum === 2048L * 2048L)
+    // and an unaligned gsd on the raster producer fails loud, not
+    // silently truncated
+    intercept[IllegalArgumentException] {
+      graft.operators.RasterOps.confidenceTiles(spark,
+        graft.operators.CrownOps.synthesize(spark,
+          graft.operators.GeoOps.assignTiles(
+            graft.tables.PagesGen.pages(spark, 10), u), u), u, 8)
+    }
   }
 
   test("serialise writes canonical fixtures") {

@@ -71,6 +71,14 @@ class GridSpec extends AnyFunSuite {
     // matched GSD degenerates to the plain grid
     val (g4, s4) = Tiler.geoGrid(2048, 2048, 1024, 256, srcGsd = 0.1, targetGsd = 0.1)
     assert(s4 === 1.0 && g4.length === 9)
+    // invalid TARGET gsd also degrades to scale 1 (no negative-overlap
+    // gapped grid, no crash)
+    val (g5, s5) = Tiler.geoGrid(2048, 2048, 1024, 256, srcGsd = 0.1, targetGsd = 0.0)
+    assert(s5 === 1.0 && g5.length === 9)
+    // extreme downscale: rounded overlap clamps below the tile so the
+    // grid stays valid and gap-free
+    val (t6, o6, _) = Tiler.geoScale(1024, 1000, srcGsd = 341.0, targetGsd = 1.0)
+    assert(o6 >= 0 && o6 < t6)
   }
 
   test("overlap > tile size raises (test_tiling.py:41-44)") {

@@ -117,6 +117,36 @@ class OpsSpec extends AnyFunSuite {
       s"8-bit WAV must convert, not reinterpret: got ${s8.length} samples")
   }
 
+  test("codec robustness: decompression-bomb PNG rejected, false sniffs fall back to stub") {
+    import graft.operators.Multimodal.{JdkCodec, StubCodec}
+    // a valid PNG header DECLARING 50000x50000 (2.5 Gpx) with no data:
+    // the dimension pre-check must reject it without allocating
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes).put(data).putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(50000).putInt(50000).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr)
+    assert(JdkCodec.sniff(bomb) === "png")
+    assert(JdkCodec.decodeImage(bomb).isEmpty, "bomb dimensions must be rejected pre-decode")
+    // a normal image still decodes through the dimension-checked path
+    assert(JdkCodec.decodeImage(graft.tables.MediaGen.pngFor(1L)).isDefined)
+    // text that HAPPENS to start with a magic prefix gets the full
+    // stub row (deterministic meta), not a zeroed failure row
+    val fakeGif = "GIF89a is mentioned in this plain text document somewhere".getBytes
+    val spark2 = spark
+    import spark2.implicits._
+    val row = graft.operators.Multimodal.processMedia(spark,
+      Seq((1L, fakeGif)).toDF("i", "html")).collect().head
+    assert(row.meta === StubCodec.decodeMeta(fakeGif))
+  }
+
   test("hot-bucket cap bounds a degenerate corpus without losing planted recall") {
     // degenerate block: 200 byte-identical docs — uncapped LSH would
     // put all 200 in the same (band, bucket) → 200²/2 candidate pairs

@@ -67,6 +67,14 @@ class ShapefileSpec extends AnyFunSuite {
     assert(ShapefileIO.parse(bodyCorrupt).isEmpty)
     bb2.putInt(100 + 8 + 40, -7)
     assert(ShapefileIO.parse(bodyCorrupt).isEmpty)
+    // corrupt ring part OFFSET (negative / past numPoints): clean stop
+    // instead of reading header bytes as coordinates
+    val startsCorrupt = good.clone()
+    val bb3 = java.nio.ByteBuffer.wrap(startsCorrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb3.putInt(100 + 8 + 44, -5) // record 1 parts[0]
+    assert(ShapefileIO.parse(startsCorrupt).isEmpty)
+    bb3.putInt(100 + 8 + 44, 1 << 28)
+    assert(ShapefileIO.parse(startsCorrupt).isEmpty)
   }
 
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
