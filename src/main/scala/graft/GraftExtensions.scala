@@ -61,9 +61,13 @@ object GraftExtensions {
     "st_make_valid" -> ((args: Seq[Expression]) => STMakeValid(args(0))))
 
   /** Register on an already-built session (extensions only run at
-    * session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * session construction). Also registers the `st_union_agg` UDAF
+    * (Aggregators go through the udf registry, not injectFunction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, b)
     }
+    spark.udf.register("st_union_agg",
+      org.apache.spark.sql.functions.udaf(graft.functions.UnionAgg))
+  }
 }

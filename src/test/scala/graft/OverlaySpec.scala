@@ -208,5 +208,15 @@ class OverlaySpec extends AnyFunSuite {
     // union area: 100 + 100 - 25 = 175 (st_area is unsigned; no holes here)
     assert(math.abs(row.getDouble(0) - 175.0) < 1e-9)
     assert(row.getInt(1) === 2 && row.getInt(2) === 0)
+    // the union AGGREGATE from SQL: three overlapping unit-offset
+    // squares in one group
+    val agg = spark.sql(
+      """SELECT aggregate(transform(st_union_agg(poly), r -> st_area(r)),
+        |                 0D, (a, x) -> a + x) AS area
+        |FROM VALUES (array(0D,0D,10D,0D,10D,10D,0D,10D)),
+        |            (array(5D,0D,15D,0D,15D,10D,5D,10D)),
+        |            (array(10D,0D,20D,0D,20D,10D,10D,10D)) AS t(poly)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(agg - 200.0) < 1e-9)
   }
 }
