@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions._
 object IcebergLite {
 
   /** `key` = caller-supplied idempotency key (e.g. streaming batch id);
-    * -1 when unused. */
+    * -1 when unused. `keyMin`/`keyMax` are manifest-level stats of the
+    * snapshot's unit-key column (the Iceberg data-skipping analogue):
+    * range reads prune whole snapshots without touching their files.
+    * Old manifests without the fields read back as the full range. */
   final case class Snapshot(id: Long, stage: String, rowCount: Long, wallMs: Long,
-                            key: Long = -1L)
+                            key: Long = -1L,
+                            keyMin: Long = Long.MinValue, keyMax: Long = Long.MaxValue)
 
   /** Lineage grain: one row per (work unit, spark partition). */
   final case class LineageRow(stage: String, snapshotId: Long, unitKey: Long,
@@ -50,18 +54,23 @@ object IcebergLite {
 
   // tiny hand-rolled JSON (flat schema, no deps)
   private def renderManifest(snaps: Seq[Snapshot]): String =
-    snaps.map(s =>
-      s"""{"id":${s.id},"stage":"${s.stage}","rowCount":${s.rowCount},"wallMs":${s.wallMs},"key":${s.key}}""")
-      .mkString("{\"snapshots\":[", ",", "]}")
+    snaps.map { s =>
+      val stats =
+        if (s.keyMin == Long.MinValue && s.keyMax == Long.MaxValue) ""
+        else s""","kmin":${s.keyMin},"kmax":${s.keyMax}"""
+      s"""{"id":${s.id},"stage":"${s.stage}","rowCount":${s.rowCount},"wallMs":${s.wallMs},"key":${s.key}$stats}"""
+    }.mkString("{\"snapshots\":[", ",", "]}")
 
   def snapshots(root: String): Seq[Snapshot] = {
     val p = manifestPath(root)
     if (!Files.exists(p)) return Seq.empty
     val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    val re = """\{"id":(\d+),"stage":"([^"]*)","rowCount":(\d+),"wallMs":(\d+)(?:,"key":(-?\d+))?\}""".r
+    val re = """\{"id":(\d+),"stage":"([^"]*)","rowCount":(\d+),"wallMs":(\d+)(?:,"key":(-?\d+))?(?:,"kmin":(-?\d+),"kmax":(-?\d+))?\}""".r
     re.findAllMatchIn(txt).map(m =>
       Snapshot(m.group(1).toLong, m.group(2), m.group(3).toLong, m.group(4).toLong,
-        Option(m.group(5)).map(_.toLong).getOrElse(-1L))).toSeq
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L),
+        Option(m.group(6)).map(_.toLong).getOrElse(Long.MinValue),
+        Option(m.group(7)).map(_.toLong).getOrElse(Long.MaxValue))).toSeq
   }
 
   private def writeManifest(root: String, snaps: Seq[Snapshot]): Unit = {
@@ -109,12 +118,16 @@ object IcebergLite {
         lit((System.nanoTime() - t0) / 1000000).as("wallMs"))
       .write.mode("overwrite").parquet(lineageDir)
 
-    // snapshot rowCount = Σ lineage rowCounts — read back the tiny
-    // lineage parquet instead of a third pass over the data
-    val rowCount = Option(spark.read.parquet(lineageDir)
-      .agg(sum(col("rowCount"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // snapshot rowCount and unit-key range = one agg over the tiny
+    // lineage parquet (no extra pass over the data); the key range
+    // goes into the manifest as snapshot-level stats for readRange
+    val statsRow = spark.read.parquet(lineageDir)
+      .agg(sum(col("rowCount")), min(col("unitKey")), max(col("unitKey"))).head()
+    val rowCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val kMin = if (statsRow.isNullAt(1)) Long.MinValue else statsRow.getLong(1)
+    val kMax = if (statsRow.isNullAt(2)) Long.MaxValue else statsRow.getLong(2)
     writeManifest(root, prev :+ Snapshot(snapId, stage,
-      rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey))
+      rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey, kMin, kMax))
     snapId
   }
 
@@ -130,6 +143,22 @@ object IcebergLite {
     val snaps = snapshots(root).filter(s => s.stage == stage && s.id <= asOfId)
     if (snaps.isEmpty) None
     else Some(spark.read.parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*))
+  }
+
+  /** Range read with SNAPSHOT skipping (Iceberg manifest-stats
+    * pruning): only snapshots whose recorded [keyMin, keyMax] overlaps
+    * [lo, hi] are read at all — their files are never listed — and the
+    * residual unit-key filter lands on the parquet scan as a pushed
+    * predicate for row-group pruning within the surviving snapshots.
+    * Old manifests without stats read as full-range (never skipped). */
+  def readRange(spark: SparkSession, root: String, stage: String,
+                unitKeyCol: String, lo: Long, hi: Long): Option[DataFrame] = {
+    val snaps = snapshots(root)
+      .filter(s => s.stage == stage && s.keyMax >= lo && s.keyMin <= hi)
+    if (snaps.isEmpty) None
+    else Some(spark.read
+      .parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*)
+      .filter(col(unitKeyCol) >= lo && col(unitKeyCol) <= hi))
   }
 
   /** Lineage rows of a stage across snapshots. */

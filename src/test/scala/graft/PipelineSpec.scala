@@ -139,6 +139,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root).size === 3)
   }
 
+  test("IcebergLite readRange: snapshot skipping via manifest key stats") {
+    val root = java.nio.file.Files.createTempDirectory("icebrange").toString
+    // three snapshots with disjoint region ranges
+    (0 until 3).foreach { k =>
+      val df = spark.range(100).toDF("id")
+        .withColumn("region", col("id") % 10 + k * 10)
+      IcebergLite.commit(spark, root, "s", df, "region")
+    }
+    val snaps = IcebergLite.snapshots(root)
+    assert(snaps.map(s => (s.keyMin, s.keyMax)) === Seq((0L, 9L), (10L, 19L), (20L, 29L)))
+    // a range query touching one snapshot lists ONLY that snapshot's
+    // files (true data skipping, not just a filter)
+    val pruned = IcebergLite.readRange(spark, root, "s", "region", 12, 15).get
+    assert(pruned.count() === 40)
+    assert(pruned.inputFiles.forall(_.contains("snap-2")),
+      s"expected only snap-2 files, got ${pruned.inputFiles.toSeq}")
+    // spanning range reads two snapshots; out-of-range reads none
+    val two = IcebergLite.readRange(spark, root, "s", "region", 8, 12).get
+    assert(two.count() === 50)
+    assert(two.inputFiles.forall(f => f.contains("snap-1") || f.contains("snap-2")))
+    assert(IcebergLite.readRange(spark, root, "s", "region", 100, 200).isEmpty)
+    // the residual filter reaches the parquet scan (row-group pruning)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(region,12)"),
+      s"residual filter not pushed:\n$plan")
+  }
+
   test("resume: crash after k regions, re-run, exactly-once per region") {
     val whole = java.nio.file.Files.createTempDirectory("wh_full").toString
     val partial = java.nio.file.Files.createTempDirectory("wh_part").toString
