@@ -58,16 +58,20 @@ object GraftExtensions {
     "st_union" -> ((args: Seq[Expression]) => STUnion(args(0), args(1))),
     "st_intersection" -> ((args: Seq[Expression]) => STIntersection(args(0), args(1))),
     "st_difference" -> ((args: Seq[Expression]) => STDifference(args(0), args(1))),
-    "st_make_valid" -> ((args: Seq[Expression]) => STMakeValid(args(0))))
+    "st_make_valid" -> ((args: Seq[Expression]) => STMakeValid(args(0))),
+    // the union AGGREGATE: the Aggregator's Column wraps an
+    // AggregateExpression, which is an Expression like any other — so
+    // it registers through the same builder list and is available on
+    // BOTH wiring paths (spark.sql.extensions and register())
+    "st_union_agg" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.graft.Bridge.convertedExpression(
+        org.apache.spark.sql.functions.udaf(graft.functions.UnionAgg)
+          .apply(org.apache.spark.sql.graft.Bridge.column(args(0))))))
 
   /** Register on an already-built session (extensions only run at
-    * session construction). Also registers the `st_union_agg` UDAF
-    * (Aggregators go through the udf registry, not injectFunction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, b)
     }
-    spark.udf.register("st_union_agg",
-      org.apache.spark.sql.functions.udaf(graft.functions.UnionAgg))
-  }
 }

@@ -141,9 +141,15 @@ object IcebergLite {
   def readAsOf(spark: SparkSession, root: String, stage: String,
                asOfId: Long): Option[DataFrame] = {
     val snaps = snapshots(root).filter(s => s.stage == stage && s.id <= asOfId)
-    if (snaps.isEmpty) None
-    else Some(spark.read.parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*))
+    readSnaps(spark, root, "data", stage, snaps)
   }
+
+  /** Union-read one subdir of a snapshot set (shared by readAsOf /
+    * readRange / lineage — the path layout lives in one place). */
+  private def readSnaps(spark: SparkSession, root: String, subdir: String,
+                        stage: String, snaps: Seq[Snapshot]): Option[DataFrame] =
+    if (snaps.isEmpty) None
+    else Some(spark.read.parquet(snaps.map(s => s"$root/$subdir/$stage/snap-${s.id}"): _*))
 
   /** Range read with SNAPSHOT skipping (Iceberg manifest-stats
     * pruning): only snapshots whose recorded [keyMin, keyMax] overlaps
@@ -153,20 +159,17 @@ object IcebergLite {
     * Old manifests without stats read as full-range (never skipped). */
   def readRange(spark: SparkSession, root: String, stage: String,
                 unitKeyCol: String, lo: Long, hi: Long): Option[DataFrame] = {
-    val snaps = snapshots(root)
-      .filter(s => s.stage == stage && s.keyMax >= lo && s.keyMin <= hi)
-    if (snaps.isEmpty) None
-    else Some(spark.read
-      .parquet(snaps.map(s => s"$root/data/$stage/snap-${s.id}"): _*)
-      .filter(col(unitKeyCol) >= lo && col(unitKeyCol) <= hi))
+    // rowCount == 0 guard: an empty snapshot has sentinel (full-range)
+    // stats — "no stats" must not read as "contains every key"
+    val snaps = snapshots(root).filter(s =>
+      s.stage == stage && s.rowCount > 0 && s.keyMax >= lo && s.keyMin <= hi)
+    readSnaps(spark, root, "data", stage, snaps)
+      .map(_.filter(col(unitKeyCol) >= lo && col(unitKeyCol) <= hi))
   }
 
   /** Lineage rows of a stage across snapshots. */
-  def lineage(spark: SparkSession, root: String, stage: String): Option[DataFrame] = {
-    val snaps = snapshots(root).filter(_.stage == stage)
-    if (snaps.isEmpty) None
-    else Some(spark.read.parquet(snaps.map(s => s"$root/lineage/$stage/snap-${s.id}"): _*))
-  }
+  def lineage(spark: SparkSession, root: String, stage: String): Option[DataFrame] =
+    readSnaps(spark, root, "lineage", stage, snapshots(root).filter(_.stage == stage))
 
   /** Distinct committed work-unit keys of a stage — the resume anti-join
     * side. */

@@ -12,6 +12,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** FULL column-node → expression conversion: unlike
+    * `ExpressionUtils.expression` (which only unwraps plain expression
+    * nodes), this runs the classic converter, so UDF/UDAF invocation
+    * nodes — e.g. `functions.udaf(agg).apply(col)` — resolve to their
+    * real `ScalaAggregator` expressions. Needed to register Aggregators
+    * in the SQL FunctionRegistry via expression builders. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a SQL function on an EXISTING session (extensions only
     * apply at session build time). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -164,6 +164,13 @@ class PipelineSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(region,12)"),
       s"residual filter not pushed:\n$plan")
+    // an EMPTY snapshot (no rows → no stats) must never match a range
+    // read — "no stats" is not "contains every key"
+    IcebergLite.commit(spark, root, "s",
+      spark.range(0).toDF("id").withColumn("region", col("id")), "region")
+    val after = IcebergLite.readRange(spark, root, "s", "region", 12, 15).get
+    assert(after.inputFiles.forall(_.contains("snap-2")),
+      "empty snapshot leaked into the pruned file list")
   }
 
   test("resume: crash after k regions, re-run, exactly-once per region") {
