@@ -1,6 +1,7 @@
 package graft.tables
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,16 +18,62 @@ import org.apache.spark.sql.functions._
   * offsets, xy points. Rings follow shapefile convention: outer rings
   * clockwise, holes counter-clockwise.
   *
+  * A shapefile is really a file TRIO; both sidecars are covered here:
+  *   - `.shx` (same ESRI spec, §"Index File"): the 100-byte header
+  *     again, then per record (offset in 16-bit words from file start,
+  *     content length in words) both big-endian — random access for
+  *     GIS consumers; QGIS/ogr refuse a bare .shp without it.
+  *   - `.dbf` (dBASE III, public Xbase spec): attribute table. Header
+  *     byte 0 = 0x03, update date, record count (LE u32), header/record
+  *     sizes (LE u16), then 32-byte field descriptors (11-byte name,
+  *     type char C/N/F/L/D, length, decimal count) closed by 0x0D;
+  *     rows are fixed-width ASCII, each led by a deletion flag byte,
+  *     file closed by 0x1A. Row i (0-based) carries the attributes of
+  *     shp record i (in file order).
+  *
+  * Field layouts mirror fiona/GDAL defaults (str→C:80, int→N:18.0,
+  * float→N:24.15) so outputs match what the reference's fiona writer
+  * produces; the two reference property schemas are provided as
+  * presets (`InstanceFields` from instancesegmentationresult.py:51-59,
+  * `MergeFields` from scripts/merge.py:196-205, field order preserved).
+  *
   * Scale shape: one .shp is a driver-side artifact (the reference's
   * per-image output). The Spark path parallelizes ACROSS files —
   * `readTable` lists a directory and parses each file inside
   * mapPartitions, so a million shapefiles fan out as a normal
   * distributed scan; a single shapefile is not splittable (records are
   * variable-length back-to-back), which is inherent to the format.
+  * Attributes ride along WITHOUT a shuffle: each task opens the .dbf
+  * sitting beside its .shp through the Hadoop filesystem, so the
+  * geometry↔attribute pairing never crosses the wire.
   */
 object ShapefileIO {
 
   final case class ShpRecord(recordNum: Int, rings: Seq[Array[Double]])
+
+  /** dBASE field descriptor: `ftype` C (char), N (numeric), F (float),
+    * L (logical) or D (date); `decimals` only meaningful for N/F. */
+  final case class DbfField(name: String, ftype: Char, length: Int, decimals: Int) {
+    require(length > 0 && length <= 254, s"dbf field length $length out of range")
+  }
+
+  object DbfField {
+    def str(name: String, len: Int = 80): DbfField = DbfField(name, 'C', len, 0)
+    def int(name: String, len: Int = 18): DbfField = DbfField(name, 'N', len, 0)
+    def dbl(name: String, len: Int = 24, dec: Int = 15): DbfField = DbfField(name, 'N', len, dec)
+  }
+
+  /** Property schema of the reference's per-image instance export
+    * (result/instancesegmentationresult.py:51-59, fiona field order). */
+  val InstanceFields: Seq[DbfField] = Seq(
+    DbfField.dbl("score"), DbfField.str("class"),
+    DbfField.int("class_idx"), DbfField.int("id"))
+
+  /** Property schema of the reference's cross-image merge export
+    * (scripts/merge.py:196-205, fiona field order). */
+  val MergeFields: Seq[DbfField] = Seq(
+    DbfField.str("id"), DbfField.dbl("area"), DbfField.dbl("perimeter"),
+    DbfField.dbl("score"), DbfField.int("class"))
 
   private val FileCode = 9994
   private val Version = 1000
@@ -89,9 +136,15 @@ object ShapefileIO {
           val from = starts(p)
           val until = if (p + 1 < numParts) starts(p + 1) else numPoints
           // shapefile rings repeat the first point at the end; the
-          // engine's flat-ring convention does not
+          // engine's flat-ring convention does not. Only drop the
+          // closing vertex when it actually bit-equals the first —
+          // a spec-violating unclosed ring from another writer keeps
+          // all n points instead of silently losing a real vertex.
           val n = until - from
-          val m = if (n > 1) n - 1 else n
+          val closed = n > 1 &&
+            buf.getDouble(pointsOff + 16 * from) == buf.getDouble(pointsOff + 16 * (from + n - 1)) &&
+            buf.getDouble(pointsOff + 16 * from + 8) == buf.getDouble(pointsOff + 16 * (from + n - 1) + 8)
+          val m = if (closed) n - 1 else n
           val ring = new Array[Double](2 * m)
           var k = 0
           while (k < m) {
@@ -116,8 +169,12 @@ object ShapefileIO {
     * are dropped; a record left ringless — e.g. a MergedCrown produced
     * with emitGeom = false — becomes a spec-legal Null Shape (type 0)
     * record instead of crashing the writer. */
-  def write(records: Seq[ShpRecord]): Array[Byte] = {
-    val bodies = records.map { r0 =>
+  def write(records: Seq[ShpRecord]): Array[Byte] = assembleShp(records, recordBodies(records))
+
+  /** Per-record little-endian content payloads (shared by .shp and .shx
+    * assembly so the index offsets always agree with the data file). */
+  private def recordBodies(records: Seq[ShpRecord]): Seq[(Int, Array[Byte])] = {
+    records.map { r0 =>
       val rings = r0.rings.filter(_.length >= 6)
       if (rings.isEmpty) {
         val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
@@ -144,8 +201,11 @@ object ShapefileIO {
         (r0.recordNum, b.array())
       }
     }
-    val totalBytes = 100 + bodies.map(8 + _._2.length).sum
-    val buf = ByteBuffer.allocate(totalBytes)
+  }
+
+  /** The shared 100-byte header (.shp and .shx differ only in the file
+    * length field, which counts their own 16-bit words). */
+  private def putHeader(buf: ByteBuffer, records: Seq[ShpRecord], totalBytes: Int): Unit = {
     buf.order(ByteOrder.BIG_ENDIAN)
     buf.putInt(FileCode); buf.position(24); buf.putInt(totalBytes / 2)
     buf.order(ByteOrder.LITTLE_ENDIAN)
@@ -158,6 +218,12 @@ object ShapefileIO {
       buf.putDouble(allX.max); buf.putDouble(allY.max)
     } else buf.position(buf.position() + 32)
     buf.position(100)
+  }
+
+  private def assembleShp(records: Seq[ShpRecord], bodies: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val totalBytes = 100 + bodies.map(8 + _._2.length).sum
+    val buf = ByteBuffer.allocate(totalBytes)
+    putHeader(buf, records, totalBytes)
     bodies.foreach { case (num, body) =>
       buf.order(ByteOrder.BIG_ENDIAN)
       buf.putInt(num); buf.putInt(body.length / 2)
@@ -166,23 +232,191 @@ object ShapefileIO {
     buf.array()
   }
 
-  def writeFile(path: String, records: Seq[ShpRecord]): Unit = {
-    val p = Paths.get(path)
+  /** The .shx index: per record (offset words, content-length words),
+    * offsets pointing at the record HEADER in the .shp (spec §Index
+    * File; first record offset is always 50 = the 100-byte header). */
+  def writeShx(records: Seq[ShpRecord]): Array[Byte] = {
+    val bodies = recordBodies(records)
+    val totalBytes = 100 + 8 * bodies.size
+    val buf = ByteBuffer.allocate(totalBytes)
+    putHeader(buf, records, totalBytes)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    var offsetWords = 50
+    bodies.foreach { case (_, body) =>
+      buf.putInt(offsetWords); buf.putInt(body.length / 2)
+      offsetWords += 4 + body.length / 2
+    }
+    buf.array()
+  }
+
+  /** Parse a .shx into (offsetWords, contentWords) pairs. */
+  def parseShx(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt(0) == FileCode, "not a shapefile index")
+    ((100 until bytes.length - 7 by 8)).map(p => (buf.getInt(p), buf.getInt(p + 4)))
+  }
+
+  private val DbfVersion: Byte = 0x03 // dBASE III, no memo
+  // fixed update date for byte-deterministic output (year counts from 1900)
+  private val DbfDate: Array[Byte] = Array((2026 - 1900).toByte, 1.toByte, 1.toByte)
+
+  /** Format one attribute value into its fixed-width ASCII cell:
+    * C left-justified space-padded, N/F right-justified, null → blanks.
+    * Doubles print with the field's decimal count (fiona/GDAL shape) —
+    * decimal truncation to `decimals` digits is inherent to the dBASE
+    * format, not a writer choice. Overwide numerics fail loud rather
+    * than silently corrupting the column. */
+  private def formatCell(f: DbfField, v: Any): Array[Byte] = {
+    val s = v match {
+      case null => ""
+      case d: Double => String.format(java.util.Locale.ROOT, s"%.${f.decimals}f", Double.box(d))
+      case fl: Float => String.format(java.util.Locale.ROOT, s"%.${f.decimals}f", Double.box(fl.toDouble))
+      case other => other.toString
+    }
+    require(s.length <= f.length, s"value '$s' overflows dbf field ${f.name}(${f.length})")
+    val cell = new Array[Byte](f.length)
+    java.util.Arrays.fill(cell, ' '.toByte)
+    val ascii = s.getBytes(StandardCharsets.US_ASCII)
+    if (f.ftype == 'C') System.arraycopy(ascii, 0, cell, 0, ascii.length)
+    else System.arraycopy(ascii, 0, cell, f.length - ascii.length, ascii.length)
+    cell
+  }
+
+  /** Assemble a dBASE III .dbf; `rows(i)` are the attributes of shp
+    * record i in file order, values aligned with `fields`. */
+  def writeDbf(fields: Seq[DbfField], rows: Seq[Seq[Any]]): Array[Byte] = {
+    require(rows.forall(_.size == fields.size), "dbf row arity != field count")
+    val headerSize = 32 + 32 * fields.size + 1
+    val recordSize = 1 + fields.map(_.length).sum
+    val buf = ByteBuffer.allocate(headerSize + recordSize * rows.size + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(DbfVersion).put(DbfDate)
+    buf.putInt(rows.size)
+    buf.putShort(headerSize.toShort).putShort(recordSize.toShort)
+    buf.position(32)
+    fields.foreach { f =>
+      val name = f.name.take(10).getBytes(StandardCharsets.US_ASCII) // 10-char dbf limit
+      val desc = new Array[Byte](32)
+      System.arraycopy(name, 0, desc, 0, name.length)
+      desc(11) = f.ftype.toByte
+      desc(16) = f.length.toByte
+      desc(17) = f.decimals.toByte
+      buf.put(desc)
+    }
+    buf.put(0x0D.toByte)
+    rows.foreach { row =>
+      buf.put(' '.toByte) // deletion flag: live
+      fields.zip(row).foreach { case (f, v) => buf.put(formatCell(f, v)) }
+    }
+    buf.put(0x1A.toByte)
+    buf.array()
+  }
+
+  /** Parse a .dbf into its field descriptors and per-record trimmed
+    * string cells (numeric typing is the caller's choice — dBASE N
+    * fields are decimal text). Deleted rows ('*' flag) keep their slot
+    * so row i stays aligned with shp record i. */
+  def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[Seq[String]]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require((buf.get(0) & 0x07) == 0x03, s"unsupported dbf version ${buf.get(0)}")
+    val nRec = buf.getInt(4)
+    val headerSize = buf.getShort(8) & 0xFFFF
+    val recordSize = buf.getShort(10) & 0xFFFF
+    val fields = Seq.newBuilder[DbfField]
+    var p = 32
+    while (p + 32 <= headerSize && bytes(p) != 0x0D) {
+      var nameEnd = p
+      while (nameEnd < p + 11 && bytes(nameEnd) != 0) nameEnd += 1
+      val name = new String(bytes, p, nameEnd - p, StandardCharsets.US_ASCII)
+      fields += DbfField(name, bytes(p + 11).toChar, bytes(p + 16) & 0xFF, bytes(p + 17) & 0xFF)
+      p += 32
+    }
+    val fs = fields.result()
+    val rows = (0 until nRec).flatMap { i =>
+      val base = headerSize + i.toLong * recordSize
+      if (base + recordSize > bytes.length) None
+      else {
+        var off = base.toInt + 1
+        Some(fs.map { f =>
+          val cell = new String(bytes, off, f.length, StandardCharsets.US_ASCII).trim
+          off += f.length
+          cell
+        })
+      }
+    }
+    (fs, rows)
+  }
+
+  /** Write the complete shapefile trio (.shp + .shx + .dbf). `path` may
+    * name any of the three extensions (or none); siblings derive from
+    * the same base. Without attributes the .dbf carries a single `id`
+    * N-field holding each record's number, so the trio is always
+    * GIS-openable. */
+  def writeFile(path: String, records: Seq[ShpRecord]): Unit =
+    writeFile(path, records, Seq(DbfField.int("id")), records.map(r => Seq(r.recordNum)))
+
+  def writeFile(path: String, records: Seq[ShpRecord],
+                fields: Seq[DbfField], attrs: Seq[Seq[Any]]): Unit = {
+    val base = path.replaceAll("\\.(shp|shx|dbf)$", "")
+    val p = Paths.get(base + ".shp")
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, write(records))
+    Files.write(p, assembleShp(records, recordBodies(records)))
+    Files.write(Paths.get(base + ".shx"), writeShx(records))
+    Files.write(Paths.get(base + ".dbf"), writeDbf(fields, attrs))
+  }
+
+  /** Export merged crowns with the reference's cross-image merge schema
+    * (scripts/merge.py:196-205: id, area, perimeter, score, class —
+    * same field order fiona writes). Engine rings are CCW-outer; the
+    * shapefile convention wants CW, so outers are reversed on the way
+    * out. */
+  def writeMergedCrowns(path: String, crowns: Seq[graft.operators.CrownOps.MergedCrown]): Unit = {
+    import graft.geom.Geom
+    val recs = crowns.zipWithIndex.map { case (m, i) =>
+      ShpRecord(i + 1, m.geom.toSeq.map(r => if (Geom.signedArea(r) > 0) Geom.reverseRing(r) else r))
+    }
+    val attrs = crowns.zipWithIndex.map { case (m, i) =>
+      Seq(i.toString, m.area, m.perimeter, m.score, m.classIdx)
+    }
+    writeFile(path, recs, MergeFields, attrs)
   }
 
   /** Distributed scan over a directory of .shp files: Spark's binaryFile
     * source lists + distributes the files; each file parses inside the
-    * scan. Output (path, record_num, rings ARRAY<ARRAY<DOUBLE>>). */
+    * scan. The sidecar .dbf (when present) is opened through the Hadoop
+    * filesystem INSIDE the same task — geometry and attributes pair up
+    * with zero shuffle. Output (path, record_num,
+    * rings ARRAY<ARRAY<DOUBLE>>, props MAP<STRING,STRING>). */
   def readTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
     spark.read.format("binaryFile").option("pathGlobFilter", "*.shp").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        parse(bytes).map(r => (path, r.recordNum, r.rings))
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          val sidecar: Seq[Map[String, String]] = try {
+            val dbfPath = new org.apache.hadoop.fs.Path(path.replaceAll("\\.shp$", ".dbf"))
+            val fs = dbfPath.getFileSystem(bc.value.value)
+            if (fs.exists(dbfPath)) {
+              val len = fs.getFileStatus(dbfPath).getLen.toInt
+              val raw = new Array[Byte](len)
+              val in = fs.open(dbfPath)
+              try in.readFully(0, raw) finally in.close()
+              val (fds, rows) = parseDbf(raw)
+              rows.map(r => fds.map(_.name).zip(r).toMap)
+            } else Seq.empty
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          // dbf row i pairs with shp record number i+1 (spec: record
+          // numbers are sequential 1-based) — null-shape records keep
+          // their dbf slot even though parse() doesn't emit them
+          parse(bytes).map { r =>
+            (path, r.recordNum, r.rings, sidecar.lift(r.recordNum - 1).getOrElse(Map.empty[String, String]))
+          }
+        }
       }
-      .toDF("path", "record_num", "rings")
+      .toDF("path", "record_num", "rings", "props")
   }
 }

@@ -77,6 +77,110 @@ class ShapefileSpec extends AnyFunSuite {
     assert(ShapefileIO.parse(startsCorrupt).isEmpty)
   }
 
+  test("spec-violating unclosed ring keeps all vertices; closed ring drops only the repeat") {
+    // hand-build a record whose ring does NOT repeat the first point
+    val open = Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0) // 4 distinct pts
+    val contentBytes = 4 + 32 + 4 + 4 + 4 + 16 * 4
+    val b = java.nio.ByteBuffer.allocate(100 + 8 + contentBytes)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994); b.putInt(24, (100 + 8 + contentBytes) / 2)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000); b.putInt(32, 5)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(100, 1); b.putInt(104, contentBytes / 2)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(108, 5) // polygon
+    b.putInt(108 + 36, 1); b.putInt(108 + 40, 4) // 1 part, 4 points, NOT closed
+    b.putInt(108 + 44, 0)
+    for (k <- 0 until 4) {
+      b.putDouble(108 + 48 + 16 * k, open(2 * k)); b.putDouble(108 + 56 + 16 * k, open(2 * k + 1))
+    }
+    val back = ShapefileIO.parse(b.array())
+    assert(back.size === 1 && back.head.rings.head.length === 8) // all 4 points kept
+    // the writer closes rings, so round-trip drops exactly the repeat
+    val closed = ShapefileIO.parse(ShapefileIO.write(back))
+    assert(closed.head.rings.head sameElements open)
+  }
+
+  test("writeFile emits the .shp/.shx/.dbf trio; shx offsets index the shp records") {
+    val dir = java.nio.file.Files.createTempDirectory("shptrio").toString
+    val recs = Seq(ShpRecord(1, Seq(square)), ShpRecord(2, Seq(square, hole)), ShpRecord(3, Seq.empty))
+    ShapefileIO.writeFile(s"$dir/t.shp", recs)
+    for (ext <- Seq("shp", "shx", "dbf"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.$ext")), ext)
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shp"))
+    val idx = ShapefileIO.parseShx(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shx")))
+    assert(idx.size === 3 && idx.head._1 === 50) // first record right after header
+    // every shx entry points at the matching record header in the shp
+    val bb = java.nio.ByteBuffer.wrap(shp).order(java.nio.ByteOrder.BIG_ENDIAN)
+    idx.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(bb.getInt(off * 2) === i + 1)       // record number
+      assert(bb.getInt(off * 2 + 4) === len)     // content length agrees
+    }
+    // shx file length field is self-describing
+    assert(java.nio.ByteBuffer.wrap(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shx")))
+      .getInt(24) * 2 === 100 + 8 * 3)
+  }
+
+  test("dbf round-trips both reference property schemas in field order") {
+    // instance schema (instancesegmentationresult.py:51-59)
+    val rows = Seq(
+      Seq[Any](0.875, "tree", 1, 42),
+      Seq[Any](0.5, "canopy", 0, 43))
+    val bytes = ShapefileIO.writeDbf(ShapefileIO.InstanceFields, rows)
+    val (fds, back) = ShapefileIO.parseDbf(bytes)
+    assert(fds.map(_.name) === Seq("score", "class", "class_idx", "id")) // fiona order
+    assert(fds.map(_.ftype) === Seq('N', 'C', 'N', 'N'))
+    assert(back.size === 2)
+    assert(back(0) === Seq("0.875000000000000", "tree", "1", "42"))
+    assert(back(1)(1) === "canopy" && back(1)(3) === "43")
+    // merge schema (scripts/merge.py:196-205)
+    val mrows = Seq(Seq[Any]("0", 12.25, 14.5, 0.75, 1))
+    val (mf, mb) = ShapefileIO.parseDbf(ShapefileIO.writeDbf(ShapefileIO.MergeFields, mrows))
+    assert(mf.map(_.name) === Seq("id", "area", "perimeter", "score", "class"))
+    assert(mb.head === Seq("0", "12.250000000000000", "14.500000000000000", "0.750000000000000", "1"))
+    // header bookkeeping follows the dBASE spec
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.get(0) === 0x03)
+    assert(bb.getInt(4) === 2) // record count
+    assert((bb.getShort(8) & 0xFFFF) === 32 + 32 * 4 + 1)
+    assert((bb.getShort(10) & 0xFFFF) === 1 + 24 + 80 + 18 + 18)
+    assert(bytes.last === 0x1A)
+  }
+
+  test("merged-crown export: trio on disk, merge.py field order, attrs surfaced by readTable") {
+    import spark.implicits._
+    val crowns = graft.operators.CrownOps.synthesize(spark,
+      graft.operators.GeoOps.assignTiles(graft.tables.PagesGen.pages(spark, 300)),
+      graft.operators.GeoOps.TileGrid.Default)
+    val merged = graft.operators.CrownOps.nmsMerge(spark, crowns, 0.7, 0.3, 0.5, emitGeom = true)
+      .collect().take(20).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("shpmerge").toString
+    ShapefileIO.writeMergedCrowns(s"$dir/merged.shp", merged)
+    val (fds, rows) = ShapefileIO.parseDbf(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/merged.dbf")))
+    assert(fds.map(_.name) === Seq("id", "area", "perimeter", "score", "class"))
+    assert(rows.size === merged.size)
+    rows.zip(merged).foreach { case (r, m) =>
+      assert(r(0).toInt >= 0)
+      assert(math.abs(r(1).toDouble - m.area) < 1e-6)
+      assert(math.abs(r(3).toDouble - m.score) < 1e-9)
+      assert(r(4).toInt === m.classIdx)
+    }
+    // distributed scan surfaces the attributes with zero shuffle
+    val df = ShapefileIO.readTable(spark, dir)
+    val got = df.orderBy("record_num").select("record_num", "props").collect()
+    assert(got.length === merged.count(_.geom.nonEmpty))
+    got.foreach { row =>
+      val props = row.getMap[String, String](1)
+      val m = merged(row.getInt(0) - 1)
+      assert(props.keySet === Set("id", "area", "perimeter", "score", "class"))
+      assert(math.abs(props("area").toDouble - m.area) < 1e-6)
+      assert(props("class").toInt === m.classIdx)
+    }
+  }
+
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
     import spark.implicits._
     val crowns = graft.operators.CrownOps.synthesize(spark,
