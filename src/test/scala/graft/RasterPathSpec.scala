@@ -232,4 +232,60 @@ class RasterPathSpec extends AnyFunSuite {
     val (rows, cols, rle) = FixtureIO.polyRle(poly)
     assert(rle.sum === rows * cols)
   }
+
+  private def synthConfTile(rows: Int, cols: Int, gsd: Int): RasterOps.ConfTile = {
+    // deterministic non-trivial pattern with zero (nodata) patches
+    val data = Array.tabulate(rows * cols) { i =>
+      val r = i / cols; val c = i % cols
+      if ((r / 7 + c / 5) % 3 == 0) 0.toByte else ((r * 31 + c * 17) % 251 + 1).toByte
+    }
+    RasterOps.ConfTile(region = 3, tileId = 12, classIdx = 1,
+      minX = 2048, minY = 1024, rows = rows, cols = cols, gsd = gsd, data = data)
+  }
+
+  test("GeoTIFF: ConfTile → .tif → ConfTile round trip pixel-exact (plain + deflate + multi-tile)") {
+    import graft.tables.GeoTiffIO
+    for ((rows, cols, deflate) <- Seq((128, 128, false), (128, 128, true),
+                                      (300, 520, false), (300, 520, true))) {
+      val t = synthConfTile(rows, cols, 8)
+      val back = GeoTiffIO.parse(GeoTiffIO.write(t, deflate = deflate))
+      assert(back.region === t.region && back.tileId === t.tileId && back.classIdx === t.classIdx)
+      assert(back.minX === t.minX && back.minY === t.minY)
+      assert(back.rows === t.rows && back.cols === t.cols && back.gsd === t.gsd)
+      assert(back.data sameElements t.data, s"pixels differ rows=$rows deflate=$deflate")
+    }
+  }
+
+  test("GeoTIFF: header/tag layout follows TIFF 6.0 + GeoTIFF, committed golden byte hash") {
+    import graft.tables.GeoTiffIO
+    val bytes = GeoTiffIO.write(synthConfTile(128, 128, 8), deflate = false)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bytes(0) === 'I'.toByte && bytes(1) === 'I'.toByte && bb.getShort(2) === 42)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    val tags = (0 until n).map(i => bb.getShort(ifd + 2 + 12 * i) & 0xFFFF)
+    assert(tags === tags.sorted, "IFD entries must be ascending by tag")
+    assert(tags.contains(322) && tags.contains(33550) && tags.contains(33922) && tags.contains(34735))
+    // the uncompressed writer is fully deterministic: committed golden
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    assert(hex === "c8823d362b6447af5b3bfaac06060b00" && bytes.length === 65892,
+      s"writer bytes drifted: md5 $hex size ${bytes.length}")
+  }
+
+  test("GeoTIFF table sink/source: distributed write + scan round trip over the mosaic") {
+    import graft.tables.GeoTiffIO
+    val tiles = RasterOps.mosaic(spark,
+      RasterOps.confidenceTiles(spark, crowns, spec), spec)
+    val expect = tiles.collect().sortBy(t => (t.region, t.classIdx, t.tileId))
+    val dir = java.nio.file.Files.createTempDirectory("gtif").toString
+    GeoTiffIO.writeTable(tiles, dir)
+    assert(new java.io.File(dir).list().count(_.endsWith(".tif")) === expect.length)
+    val back = GeoTiffIO.readTable(spark, dir).collect().sortBy(t => (t.region, t.classIdx, t.tileId))
+    assert(back.length === expect.length)
+    back.zip(expect).foreach { case (b, e) =>
+      assert(b.minX === e.minX && b.minY === e.minY && b.gsd === e.gsd)
+      assert(b.data sameElements e.data)
+    }
+  }
 }
