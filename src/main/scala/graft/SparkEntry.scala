@@ -248,17 +248,23 @@ object SparkEntry {
         operators.TrainingPipeline.annotate(s.read.parquet(t(dir, "documents")), minTokens = 5))
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("n_uniq_tokens"))),
 
-    // --- multimodal plumbing (stub codec; Spark-side shapes real)
+    // --- multimodal feature/resize/frames over REAL mixed payloads
+    // (MediaGen PNG/WAV/JPEG rows exercise the JDK codec hot path;
+    // the html-text rows keep the stub fallback branch covered)
     "mm_features" -> ((s, dir) =>
-      Multimodal.processMedia(s, PagesGen.pagesFor(s, dir).limit(2000)).toDF()
+      Multimodal.processMedia(s, graft.tables.MediaGen.mixed(s, 2000),
+          idCol = "id", payloadCol = "payload").toDF()
         .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.format").as("format"), element_at(col("features"), 1).as("byte_len"))),
     "mm_resize" -> ((s, dir) =>
-      Multimodal.resizeMedia(s, PagesGen.pagesFor(s, dir).limit(2000), outW = 16, outH = 16)
-        .select(col("i"), length(col("resized")).cast("long").as("n_bytes"))),
+      Multimodal.resizeMedia(s, graft.tables.MediaGen.mixed(s, 2000), outW = 16, outH = 16,
+          idCol = "id", payloadCol = "payload")
+        .select(col("id"), xxhash64(col("resized")).as("resized_hash"),
+          length(col("resized")).cast("long").as("n_bytes"))),
     "mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(s, PagesGen.pagesFor(s, dir).limit(2000), frames = 4)
-        .select(col("i"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
+      Multimodal.sampleFrames(s, graft.tables.MediaGen.mixed(s, 2000), frames = 4,
+          idCol = "id", payloadCol = "payload")
+        .select(col("id"), col("frame"), element_at(col("features"), 1).as("frame_len"))),
 
     // --- REAL multimodal decode (JDK codecs, zero external deps):
     // payloads are deterministic PNGs/WAVs synthesized in-memory
@@ -270,6 +276,12 @@ object SparkEntry {
       Multimodal.decodeImageSums(s, graft.tables.MediaGen.images(s, 2000))),
     "mm_decode_wav" -> ((s, dir) =>
       Multimodal.decodeWavSums(s, graft.tables.MediaGen.wavs(s, 2000))),
+    // lossy codec branch: JPEG decode is deterministic given the
+    // container JDK, so the channel sums pin to a committed hash
+    // (QueryGoldenSpec) rather than a closed-form oracle
+    "mm_decode_jpeg" -> ((s, dir) =>
+      Multimodal.decodeImageSums(s, graft.tables.MediaGen.jpegs(s, 2000),
+        payloadCol = "jpeg")),
     // real resize: decode → integer luma plane → the engine's own
     // bilinear kernel (deterministic; pinned by QueryGoldenSpec)
     "mm_resize_png" -> ((s, dir) =>

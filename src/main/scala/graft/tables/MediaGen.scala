@@ -80,4 +80,53 @@ object MediaGen {
       .as[Long].mapPartitions(_.map(id => (id, wavFor(id))))
       .toDF("id", "wav")
   }
+
+  /** One deterministic RGB image, JPEG-encoded (ImageIO default
+    * quality). Lossy, so no closed-form oracle — but deterministic
+    * given the container JDK's codec, so decode queries over it pin to
+    * a committed output hash instead. */
+  def jpegFor(id: Long): Array[Byte] = {
+    val img = new BufferedImage(ImgW, ImgH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        img.setRGB(x, y, (red(id, x, y) << 16) | (green(id, x, y) << 8) | blue(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** (id, jpeg BINARY) table of `n` deterministic JPEG images. */
+  def jpegs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions(_.map(id => (id, jpegFor(id))))
+      .toDF("id", "jpeg")
+  }
+
+  /** Mixed-modality (id, payload BINARY) table: id%4 → PNG / WAV /
+    * JPEG / deterministic html-ish text bytes. The real-codec branches
+    * (PNG, WAV, JPEG) dominate while the text rows keep the stub
+    * fallback covered — the corpus shape a real multimodal crawl has. */
+  def mixed(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions(_.map { id =>
+        val payload = (id % 4) match {
+          case 0 => pngFor(id)
+          case 1 => wavFor(id)
+          case 2 => jpegFor(id)
+          case _ =>
+            (s"<html><body>doc $id " + ("lorem ipsum " * (1 + (id % 7)).toInt) +
+              "</body></html>").getBytes("UTF-8")
+        }
+        (id, payload)
+      })
+      .toDF("id", "payload")
+  }
 }
