@@ -44,20 +44,15 @@ final case class TileGridSpec(width: Long, height: Long, tileSize: Long, minOver
   /** Ids of tiles whose half-open box [min, min+tile) contains (x, y).
     * Hot-path: called once per input row in the page⨝tile join. */
   def covering(x: Double, y: Double): Array[Long] = {
-    // stride >= tileSize - overlap, so at most ceil(tile/stride)+1 hits/axis
-    var xi0 = -1; var xi1 = -2
-    var i = 0
-    while (i < nx) {
-      if (x >= xEdges(i) && x < xEdges(i) + tileSize) { if (xi0 < 0) xi0 = i; xi1 = i }
-      i += 1
-    }
-    var yi0 = -1; var yi1 = -2
-    i = 0
-    while (i < ny) {
-      if (y >= yEdges(i) && y < yEdges(i) + tileSize) { if (yi0 < 0) yi0 = i; yi1 = i }
-      i += 1
-    }
-    if (xi0 < 0 || yi0 < 0) return Array.emptyLongArray
+    // the edges are non-decreasing (linspace), so per axis the hit set
+    // is a contiguous index range found in O(1) from the closed-form
+    // stride candidate (± truncation verify) — constant per row even
+    // on one huge grid instead of many small regions
+    val xi0 = Tiler.firstEdgeGT(xEdges, tileSize, x)
+    val xi1 = Tiler.lastEdgeLE(xEdges, x)
+    val yi0 = Tiler.firstEdgeGT(yEdges, tileSize, y)
+    val yi1 = Tiler.lastEdgeLE(yEdges, y)
+    if (xi0 > xi1 || yi0 > yi1) return Array.emptyLongArray
     val out = new Array[Long]((xi1 - xi0 + 1) * (yi1 - yi0 + 1))
     var k = 0
     var yi = yi0

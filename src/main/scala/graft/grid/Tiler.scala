@@ -148,16 +148,43 @@ object Tiler {
     out
   }
 
-  /** Edge indices e with edge <= v < edge + tileSize (binary search over
-    * the sorted edges; edges count is small). Containment is
-    * half-open [min, max) so a point maps to a deterministic tile set. */
+  /** Largest index i with edges(i) <= v, or -1. Closed-form candidate
+    * from the linspace stride, then an O(1) ±verify walk — the edges
+    * are floor(i*step), so the arithmetic candidate is off by at most
+    * the truncation error. Constant time per row even on a grid with
+    * 10^5 edges per axis (a per-row linear scan there would be the
+    * projection's bottleneck). */
+  def lastEdgeLE(edges: Array[Long], v: Double): Int = {
+    val n = edges.length
+    val step = if (n > 1) edges(n - 1).toDouble / (n - 1) else 0.0
+    var c = if (step <= 0) n - 1
+            else math.min((n - 1).toLong, math.max(0L, (v / step).toLong)).toInt
+    while (c + 1 < n && edges(c + 1) <= v) c += 1
+    while (c >= 0 && edges(c) > v) c -= 1
+    c
+  }
+
+  /** Smallest index i with edges(i) + tileSize > v, or edges.length. */
+  def firstEdgeGT(edges: Array[Long], tileSize: Long, v: Double): Int = {
+    val n = edges.length
+    val w = v - tileSize
+    val step = if (n > 1) edges(n - 1).toDouble / (n - 1) else 0.0
+    var c = if (step <= 0) 0
+            else math.min((n - 1).toLong, math.max(0L, math.ceil(w / step).toLong)).toInt
+    while (c > 0 && edges(c - 1) > w) c -= 1
+    while (c < n && edges(c) <= w) c += 1
+    c
+  }
+
+  /** Edge indices e with edge <= v < edge + tileSize. Containment is
+    * half-open [min, max) so a point maps to a deterministic tile set.
+    * The edges are non-decreasing, so the hit set is the contiguous
+    * index range [firstEdgeGT, lastEdgeLE] — computed in O(1) via the
+    * closed-form candidates above, not a per-row edge scan. */
   private def coveringEdges(edges: Array[Long], tileSize: Long, v: Double): Array[Int] = {
-    val buf = new scala.collection.mutable.ArrayBuffer[Int](4)
-    var i = 0
-    while (i < edges.length) {
-      if (v >= edges(i) && v < edges(i) + tileSize) buf += i
-      i += 1
-    }
-    buf.toArray
+    val hi = lastEdgeLE(edges, v)
+    val lo = firstEdgeGT(edges, tileSize, v)
+    if (lo > hi) Array.emptyIntArray
+    else Array.range(lo, hi + 1)
   }
 }

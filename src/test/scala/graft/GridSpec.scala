@@ -119,6 +119,42 @@ class GridSpec extends AnyFunSuite {
     assert(got.toSet === spec.covering(700.0, 300.0).toSet)
   }
 
+  test("closed-form covering == linear edge scan over random specs × 10⁴ points") {
+    // the O(1) candidate-index path must be EXACTLY the old per-row
+    // edge scan, including linspace truncation edge cases, points on
+    // edges, and out-of-extent points
+    def bruteCovering(spec: TileGridSpec, x: Double, y: Double): Set[Long] =
+      spec.tiles.filter(t =>
+        x >= t.minX && x < t.maxX && y >= t.minY && y < t.maxY).map(_.tileId).toSet
+    val specGen = for {
+      tile <- Gen.choose(16L, 600L)
+      over <- Gen.choose(0L, 15L)
+      w <- Gen.choose(1L, 5000L)
+      h <- Gen.choose(1L, 5000L)
+    } yield TileGridSpec(w, h, tile, math.min(over, tile - 1))
+    var points = 0
+    forSamples(specGen, n = 40) { spec =>
+      val rnd = new scala.util.Random(spec.width * 31 + spec.height * 7 + spec.tileSize)
+      (0 until 250).foreach { _ =>
+        // in-extent, on-edge, and out-of-extent points all covered
+        val x = rnd.nextInt(3) match {
+          case 0 => rnd.nextDouble() * spec.width
+          case 1 => spec.xEdges(rnd.nextInt(spec.nx)).toDouble
+          case _ => rnd.nextDouble() * spec.width * 1.5 - spec.width * 0.25
+        }
+        val y = rnd.nextInt(3) match {
+          case 0 => rnd.nextDouble() * spec.height
+          case 1 => spec.yEdges(rnd.nextInt(spec.ny)).toDouble
+          case _ => rnd.nextDouble() * spec.height * 1.5 - spec.height * 0.25
+        }
+        assert(spec.covering(x, y).toSet === bruteCovering(spec, x, y),
+          s"spec=$spec x=$x y=$y")
+        points += 1
+      }
+    }
+    assert(points === 10000)
+  }
+
   // --- cell index
   test("morton interleave round trip") {
     forSamples(Gen.zip(Gen.choose(0L, (1L << 28) - 1), Gen.choose(0L, (1L << 28) - 1))) { case (x, y) =>
