@@ -374,6 +374,19 @@ object SparkEntry {
           col("maxX").as("max_x"), col("maxY").as("max_y"), col("area"),
           size(col("memberIds")).as("n_members"))
     }),
+
+    // --- crown-area histogram report aggregate (report.py:118-129):
+    // matplotlib hist semantics (75 bins over [0.5 m², q90], range-
+    // excluded tails, right-inclusive last bin) with a full DuckDB
+    // oracle — areas in closed-form integer micro-m² so both engines
+    // bin bit-identical values, q90 via interpolated percentile
+    // (already proven bit-matching by q_percentile)
+    "crown_area_hist" -> ((s, dir) => {
+      val areas = GeoOps.withRegion(PagesGen.pagesFor(s, dir))
+        .select(col("region"), (col("i") % 2).cast("long").as("class_idx"),
+          (lit(500000L) + (col("i") * 2654435761L) % 100000000L).as("area_micro"))
+      CrownOps.areaHistogram(areas)
+    }),
   )
 
   /** DuckDB replica of [[operators.TextOps.langId]], generated from the
@@ -430,6 +443,23 @@ object SparkEntry {
         |  CAST(floor(quantile_cont(round(l_extendedprice * 100), 0.5)) AS BIGINT) AS median_cents,
         |  CAST(floor(quantile_cont(round(l_extendedprice * 100), 0.9)) AS BIGINT) AS p90_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "crown_area_hist" ->
+      s"""$pagesCte,
+         |areas AS (
+         |  SELECT i // 6000 AS region, i % 2 AS class_idx,
+         |    500000 + (i * 2654435761) % 100000000 AS area_micro
+         |  FROM pages),
+         |hi AS (
+         |  SELECT region, class_idx, quantile_cont(area_micro, 0.9) AS hi
+         |  FROM areas GROUP BY 1, 2)
+         |SELECT a.region, a.class_idx,
+         |  CAST(CASE WHEN h.hi > 500000.0
+         |    THEN least(floor((a.area_micro - 500000) * 75.0 / (h.hi - 500000.0)), 74.0)
+         |    ELSE 0.0 END AS BIGINT) AS bin,
+         |  count(*) AS cnt
+         |FROM areas a JOIN hi h USING (region, class_idx)
+         |WHERE a.area_micro >= 500000 AND a.area_micro <= h.hi
+         |GROUP BY 1, 2, 3""".stripMargin,
     "geo_cell_salted" ->
       s"""$pagesCte
          |SELECT CAST(floor(x / 8) AS BIGINT) AS ix,

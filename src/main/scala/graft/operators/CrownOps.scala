@@ -479,4 +479,35 @@ object CrownOps {
           .iterator.map(toMerged(region, classIdx, _, emitGeom))
       })
   }
+
+  /** Crown-area histogram report aggregate (report.py:118-129): per
+    * (region, class_idx) group, 75 equal-width bins over the range
+    * [lo, quantile(areas, 0.9)] — the reference's
+    * `plt.hist(areas, bins=75, range=(0.5, np.quantile(areas, 0.9)))`.
+    * Matplotlib semantics replicated exactly: values outside the range
+    * are excluded, the LAST bin is right-inclusive (a == q90 lands in
+    * bin bins-1), and a degenerate range (q90 <= lo) drops everything
+    * into bin 0. Input must carry (region, class_idx, area_micro
+    * BIGINT) — integer micro-m² so both engines bin identical values.
+    *
+    * 100-TB shape: one partial-aggregatable percentile per group (the
+    * group count is bounded by regions × classes, so the broadcast
+    * join back is tiny), then a narrow bin projection + count. The
+    * exact `percentile` buffers a group's values like q_percentile;
+    * `approx_percentile` is the documented swap at extreme group
+    * cardinality. */
+  def areaHistogram(areas: DataFrame, bins: Int = 75,
+                    loMicro: Long = 500000L): DataFrame = {
+    val hi = areas.groupBy(col("region"), col("class_idx"))
+      .agg(expr("percentile(area_micro, 0.9)").as("hi"))
+    areas.join(broadcast(hi), Seq("region", "class_idx"))
+      .where(col("area_micro") >= loMicro && col("area_micro") <= col("hi"))
+      .withColumn("bin",
+        when(col("hi") > lit(loMicro.toDouble),
+          least(floor((col("area_micro") - lit(loMicro)) * lit(bins.toDouble) /
+            (col("hi") - lit(loMicro.toDouble))).cast("double"), lit((bins - 1).toDouble)))
+          .otherwise(lit(0.0)).cast("long"))
+      .groupBy(col("region"), col("class_idx"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -285,4 +285,33 @@ class OpsSpec extends AnyFunSuite {
     assert(resized.length === 50)
     resized.foreach(r => assert(r.getAs[Array[Byte]]("resized").length === 256))
   }
+
+  test("areaHistogram: matplotlib hist semantics (range tails, inclusive last bin, degenerate)") {
+    import spark.implicits._
+    // group (0,0): areas 1..100 m² in micro units → q90 interpolates
+    // between 90 and 91; group (1,0): all equal (degenerate range)
+    val rows =
+      (1 to 100).map(a => (0L, 0L, a.toLong * 1000000)) ++
+      Seq((1L, 0L, 500000L), (1L, 0L, 500000L), (1L, 0L, 500000L)) ++
+      Seq((2L, 0L, 400000L)) // below lo: excluded entirely
+    val df = rows.toDF("region", "class_idx", "area_micro")
+    val hist = graft.operators.CrownOps.areaHistogram(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    // brute-force replica of plt.hist(areas, bins=75, range=(lo, q90))
+    val areas = (1 to 100).map(_.toDouble * 1000000)
+    val sorted = areas.sorted
+    val pos = 0.9 * (sorted.size - 1)
+    val q90 = sorted(pos.toInt) + (pos - pos.toInt) * (sorted(pos.toInt + 1) - sorted(pos.toInt))
+    val lo = 500000.0
+    val expect = areas.filter(a => a >= lo && a <= q90)
+      .groupBy(a => math.min(math.floor((a - lo) * 75.0 / (q90 - lo)), 74.0).toLong)
+      .view.mapValues(_.size.toLong).toMap
+    val got00 = hist.collect { case ((0L, 0L, b), c) => b -> c }
+    assert(got00 === expect)
+    assert(got00.values.sum === areas.count(a => a >= lo && a <= q90).toLong)
+    // degenerate range: everything in bin 0
+    assert(hist.collect { case ((1L, 0L, b), c) => b -> c } === Map(0L -> 3L))
+    // group entirely below lo is excluded (no rows at all)
+    assert(!hist.keys.exists(_._1 == 2L))
+  }
 }
