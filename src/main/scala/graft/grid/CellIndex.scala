@@ -97,20 +97,21 @@ object CellIndex {
     val l = level(id)
     val n = 1L << l
     val cx = ix(id); val cy = iy(id)
-    val buf = new scala.collection.mutable.ArrayBuffer[Long]((2 * r + 1) * (2 * r + 1))
-    var dy = -r
-    while (dy <= r) {
-      val y = cy + dy
-      if (y >= 0 && y < n) {
-        var dx = -r
-        while (dx <= r) {
-          val x = cx + dx
-          if (x >= 0 && x < n) buf += pack(l, x, y)
-          dx += 1
-        }
-      }
-      dy += 1
+    // clamp the ITERATION bounds, not just the emitted cells: with an
+    // oversized r (e.g. the full-grid kNN fallback at a high level)
+    // the unclamped (2r+1)² loop would spin over out-of-grid indices —
+    // this way cost is O(cells emitted), never O(r²)
+    val x0 = math.max(0L, cx - r); val x1 = math.min(n - 1, cx + r)
+    val y0 = math.max(0L, cy - r); val y1 = math.min(n - 1, cy + r)
+    if (x0 > x1 || y0 > y1) return Array.emptyLongArray
+    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var k = 0
+    var y = y0
+    while (y <= y1) {
+      var x = x0
+      while (x <= x1) { out(k) = pack(l, x, y); k += 1; x += 1 }
+      y += 1
     }
-    buf.toArray
+    out
   }
 }

@@ -156,10 +156,16 @@ object GeoOps {
         sqrt(col("kth_d2")) >= col("covered_r")) // >= : ties at the block edge
       // found < k: the kth distance UNDERestimates the needed radius
       // (the missing neighbors are beyond every found one) → full grid
-      // for those rare queries; otherwise ring sized to the kth distance
+      // for those rare queries; otherwise ring sized to the kth
+      // distance. Either way the ring is CAPPED at the grid size —
+      // ring = 2^level already covers every cell from any center, so a
+      // larger value only inflates the candidate explode (neighborhood
+      // clamps, but the cap keeps the declared bound tight at high
+      // levels on sparse data)
       .withColumn("ring",
-        when(col("found").isNull || col("found") < k, lit(1 << level))
-          .otherwise(ceil(sqrt(col("kth_d2")) / cellSize) + 1).cast("int"))
+        least(when(col("found").isNull || col("found") < k, lit(1 << level))
+          .otherwise(ceil(sqrt(col("kth_d2")) / cellSize) + 1), lit(1 << level))
+          .cast("int"))
       .persist()
     // phase 2: per-query ring of the required radius
     val ringUdf = udf((cell: Long, r: Int) => CellIndex.neighborhood(cell, r))

@@ -154,11 +154,18 @@ object RasterOps {
         val (region, classIdx, cacheId) = key
         val first = it.next()._2
         val gsd = first.gsd
+        // mixing resolutions in one mosaic group would silently
+        // mis-paste pixels (offsets below divide by the FIRST tile's
+        // gsd) — upstream confidenceTiles guarantees uniformity, but a
+        // caller feeding hand-built tiles fails loud instead
         val cc = (cacheTileSize / gsd).toInt
         val baseX = (cacheId % nCx) * cacheTileSize
         val baseY = (cacheId / nCx) * cacheTileSize
         val canvas = new Array[Byte](cc * cc)
         (Iterator.single(first) ++ it.map(_._2)).foreach { t =>
+          require(t.gsd == gsd,
+            s"mosaic group (region=$region class=$classIdx cache=$cacheId) mixes " +
+              s"gsd ${t.gsd} with $gsd — resample tiles to one resolution first")
           Raster.paste(canvas, cc, cc, t.data, t.rows, t.cols,
             ((t.minY - baseY) / gsd).toInt, ((t.minX - baseX) / gsd).toInt, mode = 1)
         }

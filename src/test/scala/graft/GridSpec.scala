@@ -182,6 +182,15 @@ class GridSpec extends AnyFunSuite {
     assert(CellIndex.neighborhood(interior, 2).length === 25)
     val corner = CellIndex.pack(8, 0, 0)
     assert(CellIndex.neighborhood(corner, 1).length === 4)
+    // an oversized ring (full-grid fallback at a high level) emits the
+    // whole grid and is O(output): iteration bounds are clamped, so a
+    // ludicrous r doesn't loop (2r+1)² times — this returns promptly
+    val high = CellIndex.pack(10, 5, 5) // 1024×1024 grid
+    val t0 = System.nanoTime()
+    val full = CellIndex.neighborhood(high, 1 << 10)
+    assert(full.length === 1024 * 1024)
+    assert(CellIndex.neighborhood(high, Int.MaxValue / 4).length === 1024 * 1024)
+    assert((System.nanoTime() - t0) < 30e9) // would spin ~(2^29)² unclamped
   }
 
   test("cell encode clamps out-of-extent points") {

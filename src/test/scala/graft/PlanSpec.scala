@@ -121,6 +121,25 @@ class PlanSpec extends AnyFunSuite {
     assert(ring1 !== exact)
   }
 
+  test("knnGridExact at a high level on sparse points: ring capped, still exact") {
+    import spark.implicits._
+    // 10 points in a 256×256-cell grid (level 8): nearly every cell is
+    // empty, so every query takes the found<k full-grid fallback. The
+    // ring cap (≤ 2^level) and the clamped neighborhood keep the
+    // candidate explode at grid size instead of (2·ring+1)² — and the
+    // result must still equal brute force exactly.
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 10).map(i =>
+      (i.toLong, rnd.nextDouble() * 2048, rnd.nextDouble() * 2048))
+      .toDF("i", "x", "y")
+    val exact = GeoOps.knnExact(pts, pts, k = 4)
+      .select("query_id", "rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val grid = GeoOps.knnGridExact(pts, k = 4, level = 8)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)]
+      .collect().map(t => (t._1, t._2.toLong, t._3)).toSet
+    assert(grid === exact)
+  }
+
   test("cell decode is a codegen'd expression — no ScalaUDF in the cell-agg plans") {
     val sf = "/root/testdata/sf0.001"
     Seq("geo_cell_agg", "geo_cell_salted").foreach { q =>

@@ -233,6 +233,18 @@ class RasterPathSpec extends AnyFunSuite {
     assert(rle.sum === rows * cols)
   }
 
+  test("mosaic fails loud on mixed-gsd tiles in one group") {
+    import spark.implicits._
+    val a = RasterOps.ConfTile(0, 0, 0, 0, 0, 128, 128, 8, new Array[Byte](128 * 128))
+    val b = RasterOps.ConfTile(0, 1, 0, 0, 0, 256, 256, 4, new Array[Byte](256 * 256))
+    val ds = spark.createDataset(Seq(a, b))
+    val err = intercept[org.apache.spark.SparkException] {
+      RasterOps.mosaic(spark, ds, spec).collect()
+    }
+    assert(err.getMessage.contains("mixes") || Option(err.getCause)
+      .exists(_.getMessage.contains("mixes")))
+  }
+
   private def synthConfTile(rows: Int, cols: Int, gsd: Int): RasterOps.ConfTile = {
     // deterministic non-trivial pattern with zero (nodata) patches
     val data = Array.tabulate(rows * cols) { i =>
