@@ -46,6 +46,7 @@ object GraftExtensions {
       STContainsPoint(args(0), args(1), args(2))),
     "st_intersects" -> ((args: Seq[Expression]) => STIntersects(args(0), args(1))),
     "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
+    "st_signed_area" -> ((args: Seq[Expression]) => STSignedArea(args(0))),
     "st_centroid" -> ((args: Seq[Expression]) => STCentroid(args(0))),
     "st_simplify" -> ((args: Seq[Expression]) =>
       STSimplify(args(0), dbl("st_simplify", 1, args(1)))),

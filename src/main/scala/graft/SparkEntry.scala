@@ -387,6 +387,26 @@ object SparkEntry {
           (lit(500000L) + (col("i") * 2654435761L) % 100000000L).as("area_micro"))
       CrownOps.areaHistogram(areas)
     }),
+
+    // --- st_union_agg under the driver's oracle gate (X3): per-group
+    // exact union AREA of closed-form integer axis-aligned boxes. The
+    // overlay runs on integer vertices, so the signed-area sum (outer
+    // rings +, hole rings −) is an exact integer that DuckDB recomputes
+    // independently by counting distinct covered unit cells.
+    "geo_union_area" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      PagesGen.pagesFor(s, dir)
+        .select((col("i") % 500).as("g"),
+          ((col("i") * 37) % 24).cast("double").as("x0"),
+          ((col("i") * 91) % 24).cast("double").as("y0"),
+          (lit(2) + col("i") % 7).cast("double").as("w"),
+          (lit(2) + (col("i") * 3) % 5).cast("double").as("h"))
+        .selectExpr("g", "array(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h) AS poly")
+        .groupBy(col("g"))
+        .agg(graft.functions.UnionAggApi.st_union_agg(col("poly")).as("u"))
+        .selectExpr("g",
+          "CAST(round(aggregate(transform(u, r -> st_signed_area(r)), 0D, (a, x) -> a + x)) AS BIGINT) AS union_area")
+    }),
   )
 
   /** DuckDB replica of [[operators.TextOps.langId]], generated from the
@@ -465,6 +485,17 @@ object SparkEntry {
          |SELECT CAST(floor(x / 8) AS BIGINT) AS ix,
          |  CAST(floor(y / 8) AS BIGINT) AS iy, count(*) AS cnt
          |FROM pages GROUP BY 1, 2""".stripMargin,
+    "geo_union_area" ->
+      s"""$pagesCte,
+         |boxes AS (
+         |  SELECT i % 500 AS g, (i * 37) % 24 AS x0, (i * 91) % 24 AS y0,
+         |    2 + i % 7 AS w, 2 + (i * 3) % 5 AS h
+         |  FROM pages),
+         |cells AS (
+         |  SELECT DISTINCT g, x0 + a AS px, y0 + b AS py
+         |  FROM boxes, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS a) ta,
+         |              LATERAL (SELECT unnest(generate_series(0, h - 1)) AS b) tb)
+         |SELECT g, count(*) AS union_area FROM cells GROUP BY g""".stripMargin,
     "geo_tile_assign" ->
       s"""$pagesCte, tiles AS (
          |  SELECT t AS tile_id, CAST((t % 3) * 512 AS DOUBLE) AS min_x,

@@ -284,3 +284,18 @@ case class STArea(child: Expression)
     Geom.area(v.asInstanceOf[ArrayData].toDoubleArray())
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** SIGNED shoelace area (CCW +, CW −): summing it over an overlay
+  * result's rings yields the polygon-with-holes area directly (outer
+  * rings positive, hole rings negative — [[graft.geom.Overlay]] traces
+  * holes CW), which unsigned st_area cannot express. */
+case class STSignedArea(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_signed_area"
+  override protected def nullSafeEval(v: Any): Any =
+    Geom.signedArea(v.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
