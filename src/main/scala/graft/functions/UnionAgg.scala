@@ -38,8 +38,23 @@ object UnionAgg extends Aggregator[Seq[Double], Seq[Seq[Seq[Double]]], Seq[Seq[D
   override def merge(b1: Seq[Seq[Seq[Double]]], b2: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
     maybeCompact(b1 ++ b2)
 
+  /** Geometric compaction: past `CompactAt` groups, only re-trace once
+    * the UNCOMPACTED tail carries at least as many vertices as the
+    * traced head — so the head at least doubles (in absorbed input)
+    * between compactions and each ring is re-traced O(log n) times,
+    * not once per `CompactAt` subsequent inputs (quadratic-in-vertices
+    * per compaction × n/32 compactions on a hot key). The buffer stays
+    * within ~2× the traced result's size, keeping the map-side-combine
+    * shuffle benefit. */
   private def maybeCompact(b: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
-    if (b.size > CompactAt) Seq(unionGroups(b)) else b
+    if (b.size <= CompactAt) b
+    else {
+      val headV = b.head.iterator.map(_.length).sum
+      var tailV = 0
+      val it = b.iterator.drop(1)
+      while (it.hasNext && tailV < headV) tailV += it.next().iterator.map(_.length).sum
+      if (tailV >= headV) Seq(unionGroups(b)) else b
+    }
 
   /** Always re-traces, so output rings are canonical (outer CCW, holes
     * CW, exact vertices) regardless of input orientation. */

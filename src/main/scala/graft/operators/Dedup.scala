@@ -86,9 +86,13 @@ object Dedup {
     * shingles. Pairs whose overlap is exclusively hot shingles are
     * missed — corpora like that belong on [[minhashLshPairs]]. Use
     * [[hotShingles]] to audit the dropped mass. The cap is OPT-IN
-    * (default = no cap) so the call signature's semantics never shift
-    * silently under an existing caller; any job at corpus scale should
-    * pass an explicit maxDf. Output (a, b, common, na, nb, jac_milli)
+    * (default = no cap); any job at corpus scale should pass an
+    * explicit maxDf. MIGRATION NOTE: before round 3 the default was
+    * maxDf = 10000 — a caller relying on that implicit cap now gets
+    * the complete (uncapped) pair set, including previously-dropped
+    * hot-shingle pairs, and on a skewed corpus an unbounded quadratic
+    * candidate join; pass maxDf = 10000 explicitly to keep the old
+    * behavior. Output (a, b, common, na, nb, jac_milli)
     * with a < b; jac_milli = floor(1000 * common / (na+nb-common))
     * (integer → engine-exact for the oracle). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500,

@@ -51,7 +51,13 @@ object RasterOps {
     @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val g0 = (spec.xEdges.iterator ++ spec.yEdges.iterator)
       .foldLeft(spec.tileSize)((g, e) => gcd(g, e))
-    math.max(1L, gcd(want.toLong, g0)).toInt
+    // the TRUE maximum divisor of g0 that is <= want — gcd(want, g0)
+    // is always valid but can be needlessly fine (grid gcd 12 with
+    // want 8: gcd gives 4 where 6 also divides the grid and halves the
+    // raster work). O(want) scan, and want is a small pixel size.
+    var d = math.min(want.toLong, math.max(1L, g0))
+    while (d > 1 && g0 % d != 0) d -= 1
+    math.max(1L, d).toInt
   }
 
   def confidenceTiles(spark: SparkSession, crowns: Dataset[CrownOps.Crown],
