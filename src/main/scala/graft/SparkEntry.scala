@@ -388,6 +388,49 @@ object SparkEntry {
       CrownOps.areaHistogram(areas)
     }),
 
+    // --- GeoTIFF mosaic sink round trip (S7/S10): mosaic → one tiled
+    // deflate GeoTIFF per ConfTile (Hadoop FS, foreachPartition) →
+    // distributed binaryFile re-scan + parse. Output hash pins the
+    // whole encode→decode loop (pinned via QueryGoldenSpec; no SQL
+    // analogue of a TIFF codec).
+    "raster_geotiff_rt" -> ((s, dir) => {
+      import s.implicits._
+      val spec = GeoOps.TileGrid.Default
+      val crowns = CrownOps.synthesize(s, GeoOps.assignTiles(PagesGen.pagesFor(s, dir)), spec)
+      val tiles = RasterOps.mosaic(s, RasterOps.confidenceTiles(s, crowns, spec), spec)
+      val out = java.nio.file.Files.createTempDirectory("gtiff_q").toString
+      graft.tables.GeoTiffIO.writeTable(tiles, out, deflate = true)
+      graft.tables.GeoTiffIO.readTable(s, out)
+        .map { t =>
+          var s0 = 0L; var i = 0
+          while (i < t.data.length) { s0 += (t.data(i) & 0xff); i += 1 }
+          (t.region, t.classIdx, t.tileId, t.minX, t.minY, t.rows, t.cols, s0)
+        }
+        .toDF("region", "class_idx", "tile_id", "min_x", "min_y", "rows", "cols", "px_sum")
+    }),
+
+    // --- shapefile trio round trip (S5): top merged crowns → full
+    // .shp/.shx/.dbf export with the reference merge.py property
+    // schema → distributed re-scan surfacing the dbf attributes
+    // (pinned; dbf cells are fixed-format strings).
+    "shp_attrs_rt" -> ((s, dir) => {
+      val spec = GeoOps.TileGrid.Default
+      val crowns = CrownOps.synthesize(s, GeoOps.assignTiles(PagesGen.pagesFor(s, dir)), spec)
+      val merged = CrownOps.nmsMerge(s, crowns, nmsIou = 0.7, confThr = 0.3,
+          mergeIou = 0.5, emitGeom = true)
+        .collect()
+        .sortBy(m => (-m.score, m.region, m.classIdx, m.minX, m.minY))
+        .take(500).toSeq
+      val out = java.nio.file.Files.createTempDirectory("shp_q").toString
+      graft.tables.ShapefileIO.writeMergedCrowns(s"$out/merged.shp", merged)
+      graft.tables.ShapefileIO.readTable(s, out)
+        .select(col("record_num"), element_at(col("props"), "id").as("prop_id"),
+          element_at(col("props"), "class").as("prop_class"),
+          element_at(col("props"), "area").as("prop_area"),
+          element_at(col("props"), "score").as("prop_score"),
+          size(col("rings")).cast("long").as("n_rings"))
+    }),
+
     // --- st_union_agg under the driver's oracle gate (X3): per-group
     // exact union AREA of closed-form integer axis-aligned boxes. The
     // overlay runs on integer vertices, so the signed-area sum (outer
