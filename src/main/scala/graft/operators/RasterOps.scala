@@ -47,16 +47,20 @@ object RasterOps {
     * 585-px origins no fixed gsd divides). The golden Default spec
     * returns `want` unchanged; divisors of the default want=8 also
     * divide the 1024 cache-tile size, so mosaic stays aligned too. */
-  def alignedGsd(spec: TileGridSpec, want: Int): Int = {
+  def alignedGsd(spec: TileGridSpec, want: Int, alignTo: Long = 1024): Int = {
     @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val g0 = (spec.xEdges.iterator ++ spec.yEdges.iterator)
       .foldLeft(spec.tileSize)((g, e) => gcd(g, e))
-    // the TRUE maximum divisor of g0 that is <= want — gcd(want, g0)
-    // is always valid but can be needlessly fine (grid gcd 12 with
-    // want 8: gcd gives 4 where 6 also divides the grid and halves the
-    // raster work). O(want) scan, and want is a small pixel size.
-    var d = math.min(want.toLong, math.max(1L, g0))
-    while (d > 1 && g0 % d != 0) d -= 1
+    // the TRUE maximum divisor <= want of BOTH the grid gcd AND the
+    // downstream mosaic's cache-tile size (`alignTo` = mosaic's
+    // cacheTileSize): gcd(want, g0) was always valid but needlessly
+    // fine (grid gcd 12, want 8 → 4 where 6 also divides the grid),
+    // while the unconstrained max divisor of g0 could FAIL to divide
+    // the 1024 cache tile (g0 300, want 8 → 6 ∤ 1024) and corrupt
+    // mosaic pastes. O(want) scan; want is a small pixel size.
+    val both = gcd(math.max(1L, g0), alignTo)
+    var d = math.min(want.toLong, math.max(1L, both))
+    while (d > 1 && both % d != 0) d -= 1
     math.max(1L, d).toInt
   }
 
@@ -160,6 +164,12 @@ object RasterOps {
         val (region, classIdx, cacheId) = key
         val first = it.next()._2
         val gsd = first.gsd
+        // a gsd that doesn't divide the cache tile would truncate
+        // cc = cacheTileSize/gsd (seam pixels dropped) and shift paste
+        // offsets — fail loud (alignedGsd's alignTo prevents this)
+        require(cacheTileSize % gsd == 0,
+          s"gsd=$gsd does not divide cacheTileSize=$cacheTileSize — " +
+            "pick RasterOps.alignedGsd(spec, want, cacheTileSize)")
         // mixing resolutions in one mosaic group would silently
         // mis-paste pixels (offsets below divide by the FIRST tile's
         // gsd) — upstream confidenceTiles guarantees uniformity, but a

@@ -101,11 +101,17 @@ object GeoTiffIO {
       } else raw
     }
 
-    // data layout: header(8) | tile payloads | external arrays | IFD
+    // data layout: header(8) | tile payloads | external arrays | IFD.
+    // Every offset is kept EVEN (TIFF 6.0 requires word-aligned
+    // offsets): deflated payloads are frequently odd-length, so each
+    // payload region is padded to even before the next begins.
     var off = 8L
-    val tileOffsets = tiles.map { p => val o = off; off += p.length; o }
-    // word-align the externals
-    if (off % 2 != 0) off += 1
+    val tileOffsets = tiles.map { p =>
+      val o = off
+      off += p.length
+      if (off % 2 != 0) off += 1
+      o
+    }
     val externalsStart = off
 
     val desc = (s"graft ConfTile region=${t.region} tile=${t.tileId} " +
@@ -252,12 +258,21 @@ object GeoTiffIO {
         val out = new Array[Byte](tw * th)
         var len = 0
         var stalled = false
-        while (!inf.finished() && len < out.length && !stalled) {
-          val got = inf.inflate(out, len, out.length - len)
-          if (got == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true // corrupt stream
-          len += got
-        }
-        inf.end()
+        try {
+          while (!inf.finished() && len < out.length && !stalled) {
+            val got = inf.inflate(out, len, out.length - len)
+            if (got == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+            len += got
+          }
+        } catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(s"corrupt deflate tile $i: ${e.getMessage}")
+        } finally inf.end()
+        // a truncated/corrupt stream must FAIL LOUD like every other
+        // malformed input here — silently returning a partially-zero
+        // tile would fabricate pixel data indistinguishable from nodata
+        require(!stalled && len == out.length,
+          s"corrupt deflate tile $i: inflated $len of ${out.length} bytes")
         out
       }
       val ty = i / tilesAcross

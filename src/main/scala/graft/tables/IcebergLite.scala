@@ -122,11 +122,27 @@ object IcebergLite {
     * (processes — POSIX/NFSv4/HDFS all honor it; an object-store
     * deployment would swap in a catalog CAS). A verify-retry loop
     * around it self-heals if a non-conforming writer still clobbers
-    * the manifest. */
-  private def commitManifest(root: String, snap: Snapshot): Unit = {
-    val monitor = rootMonitors.computeIfAbsent(root, _ => new Object)
-    var done = false
-    while (!done) {
+    * the manifest.
+    *
+    * The idempotency-key duplicate check is REPEATED here under the
+    * lock: two racing commits with the same (stage, key) both pass the
+    * optimistic pre-check in [[commit]], and with CAS merging both
+    * would otherwise become visible — duplicating every row on read.
+    * Returns the id that won (ours, or the earlier duplicate's — the
+    * loser's data dir stays orphaned and invisible).
+    *
+    * Dead id-reservation markers (≤ the committed max id) are pruned
+    * inside the same critical section, so `.ids/` stays proportional
+    * to IN-FLIGHT writers instead of growing one file per commit ever
+    * made. */
+  private def commitManifest(root: String, snap: Snapshot): Long = {
+    // normalize the monitor key: two spellings of one directory
+    // ("/t/x" vs "/t/x/") must share the JVM monitor, or the second
+    // thread's FileChannel.lock throws OverlappingFileLockException
+    val monitor = rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    var winner = -1L
+    while (winner < 0) {
       monitor.synchronized {
         Files.createDirectories(Paths.get(root))
         val ch = java.nio.channels.FileChannel.open(
@@ -137,13 +153,38 @@ object IcebergLite {
           val lk = ch.lock()
           try {
             val cur = snapshots(root)
-            writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
-              tmpSuffix = s"-${snap.id}")
+            val dup = if (snap.key >= 0)
+              cur.find(s => s.stage == snap.stage && s.key == snap.key && s.id != snap.id)
+            else None
+            dup match {
+              case Some(d) => winner = d.id
+              case None =>
+                writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
+                  tmpSuffix = s"-${snap.id}")
+                pruneReservations(root, snap.id)
+            }
           } finally lk.release()
         } finally ch.close()
       }
-      done = snapshots(root).exists(_.id == snap.id)
+      if (winner < 0 && snapshots(root).exists(_.id == snap.id)) winner = snap.id
     }
+    winner
+  }
+
+  /** Drop `.ids/` markers at or below the just-committed id except the
+    * ones above it (still possibly in flight). Best-effort; only called
+    * under the manifest lock. */
+  private def pruneReservations(root: String, upTo: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(root, ".ids")
+    if (!Files.isDirectory(dir)) return
+    try {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList.foreach { p =>
+        scala.util.Try(p.getFileName.toString.stripPrefix("id-").toLong).toOption
+          .filter(_ <= upTo).foreach(_ => scala.util.Try(Files.deleteIfExists(p)))
+      } finally s.close()
+    } catch { case _: java.io.IOException => }
   }
 
   /** Write `df` as a new snapshot of `stage`, recording per-(unitKey,
@@ -193,7 +234,6 @@ object IcebergLite {
     val kMax = if (statsRow.isNullAt(2)) Long.MaxValue else statsRow.getLong(2)
     commitManifest(root, Snapshot(snapId, stage,
       rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey, kMin, kMax))
-    snapId
   }
 
   /** All live data of a stage (union of its committed snapshots). */

@@ -235,8 +235,10 @@ object ShapefileIO {
   /** The .shx index: per record (offset words, content-length words),
     * offsets pointing at the record HEADER in the .shp (spec §Index
     * File; first record offset is always 50 = the 100-byte header). */
-  def writeShx(records: Seq[ShpRecord]): Array[Byte] = {
-    val bodies = recordBodies(records)
+  def writeShx(records: Seq[ShpRecord]): Array[Byte] =
+    writeShx(records, recordBodies(records))
+
+  private def writeShx(records: Seq[ShpRecord], bodies: Seq[(Int, Array[Byte])]): Array[Byte] = {
     val totalBytes = 100 + 8 * bodies.size
     val buf = ByteBuffer.allocate(totalBytes)
     putHeader(buf, records, totalBytes)
@@ -360,20 +362,42 @@ object ShapefileIO {
     val base = path.replaceAll("\\.(shp|shx|dbf)$", "")
     val p = Paths.get(base + ".shp")
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, assembleShp(records, recordBodies(records)))
-    Files.write(Paths.get(base + ".shx"), writeShx(records))
+    val bodies = recordBodies(records) // serialize ring buffers ONCE for .shp + .shx
+    Files.write(p, assembleShp(records, bodies))
+    Files.write(Paths.get(base + ".shx"), writeShx(records, bodies))
     Files.write(Paths.get(base + ".dbf"), writeDbf(fields, attrs))
   }
 
   /** Export merged crowns with the reference's cross-image merge schema
     * (scripts/merge.py:196-205: id, area, perimeter, score, class —
-    * same field order fiona writes). Engine rings are CCW-outer; the
-    * shapefile convention wants CW, so outers are reversed on the way
-    * out. */
+    * same field order fiona writes).
+    *
+    * Winding: `MergedCrown.geom` rings come from
+    * `Raster.vectorizeWithHoles`, whose square tracer emits outer AND
+    * hole rings with the SAME winding (both walk the traced set's
+    * boundary under identical turn rules) — so orientation alone
+    * cannot identify holes. Each ring is classified by even-odd DEPTH
+    * instead: the tracer starts every ring at the top-left corner of
+    * its component's first pixel, so (v0x+0.5, v0y+0.5) is that pixel's
+    * center — a point strictly inside the ring — and its parity among
+    * the record's OTHER rings is the nesting depth (odd = hole). Outers
+    * are then written CW and holes CCW per the shapefile convention, so
+    * GIS readers subtract hole area instead of double-counting a donut
+    * crown as two filled polygons. */
   def writeMergedCrowns(path: String, crowns: Seq[graft.operators.CrownOps.MergedCrown]): Unit = {
     import graft.geom.Geom
     val recs = crowns.zipWithIndex.map { case (m, i) =>
-      ShpRecord(i + 1, m.geom.toSeq.map(r => if (Geom.signedArea(r) > 0) Geom.reverseRing(r) else r))
+      val rings = m.geom.toSeq
+      val oriented = rings.map { r =>
+        val px = r(0) + 0.5
+        val py = r(1) + 0.5
+        val depth = rings.count(o => !(o eq r) && o.length >= 6 && Geom.containsPoint(o, px, py))
+        val isHole = depth % 2 == 1
+        val ccw = Geom.signedArea(r) > 0
+        // shapefile: outer CW, hole CCW
+        if (isHole == ccw) r else Geom.reverseRing(r)
+      }
+      ShpRecord(i + 1, oriented)
     }
     val attrs = crowns.zipWithIndex.map { case (m, i) =>
       Seq(i.toString, m.area, m.perimeter, m.score, m.classIdx)

@@ -239,5 +239,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(IcebergLite.read(spark, root, s"stage_a$r").get.count() === 1L)
       assert(IcebergLite.read(spark, root, s"stage_b$r").get.count() === 1L)
     }
+    // dead id-reservation markers are pruned under the lock
+    val ids = java.nio.file.Paths.get(root, ".ids")
+    val live = java.nio.file.Files.list(ids)
+    try assert(live.count() <= 1L) finally live.close()
+  }
+
+  test("IcebergLite: concurrent same-idempotency-key commits collapse to ONE snapshot") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("iceberg_idem").toString
+    // both racers pass the optimistic pre-check (same manifest state),
+    // so only the under-lock re-check can prevent a duplicate
+    val fs = (0 until 2).map(_ => Future(
+      IcebergLite.commit(spark, root, "batch", Seq((1L, "x")).toDF("k", "v"), "k",
+        idempotencyKey = 7L)))
+    val ids = fs.map(Await.result(_, 120.seconds))
+    assert(ids.head === ids(1), "both callers must observe the winning snapshot id")
+    val snaps = IcebergLite.snapshots(root)
+    assert(snaps.count(_.stage == "batch") === 1, s"duplicate idempotent commit: $snaps")
+    assert(IcebergLite.read(spark, root, "batch").get.count() === 1L) // rows not doubled
   }
 }

@@ -285,6 +285,36 @@ class RasterPathSpec extends AnyFunSuite {
       s"writer bytes drifted: md5 $hex size ${bytes.length}")
   }
 
+  test("GeoTIFF: truncated deflate stream fails loud; offsets stay word-aligned") {
+    import graft.tables.GeoTiffIO
+    val bytes = GeoTiffIO.write(synthConfTile(300, 520, 8), deflate = true)
+    // all tile offsets even (TIFF 6.0 word alignment), even for
+    // odd-length deflate payloads
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    val offCell = (0 until n).map(i => ifd + 2 + 12 * i)
+      .find(e => (bb.getShort(e) & 0xFFFF) == 324).get + 8
+    val cntCell = (0 until n).map(i => ifd + 2 + 12 * i)
+      .find(e => (bb.getShort(e) & 0xFFFF) == 325).get + 8
+    val tileCount = {
+      val e = (0 until n).map(i => ifd + 2 + 12 * i)
+        .find(e => (bb.getShort(e) & 0xFFFF) == 324).get
+      bb.getInt(e + 4)
+    }
+    assert(tileCount === 6) // ceil(520/256) * ceil(300/256) = 3 * 2
+    val offBase = bb.getInt(offCell)
+    (0 until tileCount).foreach(i => assert(bb.getInt(offBase + 4 * i) % 2 === 0))
+    // corrupt one tile's payload: zero out its tail -> require fires
+    val cntBase = bb.getInt(cntCell)
+    val o0 = bb.getInt(offBase)
+    val c0 = bb.getInt(cntBase)
+    val corrupt = bytes.clone()
+    java.util.Arrays.fill(corrupt, o0 + c0 / 2, o0 + c0, 0.toByte)
+    val err = intercept[IllegalArgumentException] { GeoTiffIO.parse(corrupt) }
+    assert(err.getMessage.contains("deflate"))
+  }
+
   test("GeoTIFF table sink/source: distributed write + scan round trip over the mosaic") {
     import graft.tables.GeoTiffIO
     val tiles = RasterOps.mosaic(spark,

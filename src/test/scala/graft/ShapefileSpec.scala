@@ -181,6 +181,30 @@ class ShapefileSpec extends AnyFunSuite {
     }
   }
 
+  test("writeMergedCrowns orients donut holes CCW (outer CW) despite same-winding tracer rings") {
+    import graft.operators.CrownOps.MergedCrown
+    // vectorizeWithHoles emits outer AND hole with the SAME winding;
+    // replicate that: both rings CCW, hole nested inside the outer,
+    // first vertex = top-left corner of the component's first pixel
+    // (so v0 + (0.5, 0.5) is inside the ring, as the tracer guarantees)
+    val outer = Array(0.0, 0.0, 12.0, 0.0, 12.0, 12.0, 0.0, 12.0)   // CCW
+    val holeSameWinding = Array(4.0, 4.0, 8.0, 4.0, 8.0, 8.0, 4.0, 8.0) // also CCW
+    assert(Geom.signedArea(outer) > 0 && Geom.signedArea(holeSameWinding) > 0)
+    val m = MergedCrown(0L, 1, Array(1L), 0.9, Array(0.9), 0, 0, 12, 12,
+      128.0, 64.0, Array(outer), Array(outer, holeSameWinding))
+    val dir = java.nio.file.Files.createTempDirectory("shpdonut").toString
+    ShapefileIO.writeMergedCrowns(s"$dir/donut.shp", Seq(m))
+    val back = ShapefileIO.read(s"$dir/donut.shp")
+    assert(back.size === 1 && back.head.rings.size === 2)
+    val areas = back.head.rings.map(Geom.signedArea)
+    // shapefile convention: outer CW (negative signed area), hole CCW
+    assert(areas.count(_ < 0) === 1, s"outer must be CW: $areas")
+    assert(areas.count(_ > 0) === 1, s"hole must be CCW: $areas")
+    // and the CCW (hole) ring is the nested one
+    val hole = back.head.rings(areas.indexWhere(_ > 0))
+    assert(math.abs(Geom.area(hole) - 16.0) < 1e-9)
+  }
+
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
     import spark.implicits._
     val crowns = graft.operators.CrownOps.synthesize(spark,
