@@ -405,6 +405,63 @@ object ShapefileIO {
     writeFile(path, recs, MergeFields, attrs)
   }
 
+  /** GeoJSON bundle of a shapefile trio (report.py:71-81
+    * `bundle_geojson`): the reference reads the .shp+.dbf through
+    * pyshp's `__geo_interface__` and dumps a FeatureCollection as
+    * `tree_geojson.js` prefixed with `var tree_shapes = `. Re-created
+    * here over our own trio reader: each record becomes a Feature with
+    * a Polygon geometry (rings closed per GeoJSON, record ring order
+    * preserved: outer first, then holes) and its dbf row as typed
+    * properties (N fields with decimals → float, without → int,
+    * C → string; blanks → null). Canonical number formatting via
+    * [[FixtureIO.fmt]] keeps the bundle byte-deterministic. */
+  def bundleGeojson(shpPath: String): String = {
+    val base = shpPath.replaceAll("\\.(shp|shx|dbf)$", "")
+    val recs = read(base + ".shp")
+    val dbf = Paths.get(base + ".dbf")
+    val (fields, rows): (Seq[DbfField], Seq[Seq[String]]) =
+      if (Files.exists(dbf)) parseDbf(Files.readAllBytes(dbf))
+      else (Seq.empty, Seq.empty)
+    def jsonProp(f: DbfField, cell: String): String = {
+      val v =
+        if (cell.isEmpty) "null"
+        else if (f.ftype == 'N' || f.ftype == 'F') {
+          if (f.decimals == 0) cell
+          else FixtureIO.fmt(cell.toDouble)
+        } else "\"" + cell.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + f.name + "\": " + v
+    }
+    val feats = recs.map { r =>
+      val props = rows.lift(r.recordNum - 1) match {
+        case Some(row) => fields.zip(row).map { case (f, c) => jsonProp(f, c) }.mkString(", ")
+        case None => ""
+      }
+      val coords = r.rings.map { ring =>
+        val pts = ring.grouped(2).map(p => s"[${FixtureIO.fmt(p(0))}, ${FixtureIO.fmt(p(1))}]")
+        // GeoJSON rings are closed: repeat the first point
+        (pts ++ Iterator.single(
+          s"[${FixtureIO.fmt(ring(0))}, ${FixtureIO.fmt(ring(1))}]")).mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+      s"""{"type": "Feature", "properties": {$props}, "geometry": {"type": "Polygon", "coordinates": $coords}}"""
+    }
+    val allPts = recs.flatMap(_.rings).flatMap(_.grouped(2).map(p => (p(0), p(1))))
+    val bbox =
+      if (allPts.isEmpty) ""
+      else {
+        val (xs, ys) = (allPts.map(_._1), allPts.map(_._2))
+        s""""bbox": [${FixtureIO.fmt(xs.min)}, ${FixtureIO.fmt(ys.min)}, """ +
+          s"""${FixtureIO.fmt(xs.max)}, ${FixtureIO.fmt(ys.max)}], """
+      }
+    s"""{"type": "FeatureCollection", $bbox"features": ${feats.mkString("[", ", ", "]")}}"""
+  }
+
+  /** Write the reference's `tree_geojson.js` sibling artifact. */
+  def writeGeojsonJs(shpPath: String): Unit = {
+    val dir = Paths.get(shpPath).toAbsolutePath.getParent
+    Files.write(dir.resolve("tree_geojson.js"),
+      ("var tree_shapes = " + bundleGeojson(shpPath)).getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Distributed scan over a directory of .shp files: Spark's binaryFile
     * source lists + distributes the files; each file parses inside the
     * scan. The sidecar .dbf (when present) is opened through the Hadoop

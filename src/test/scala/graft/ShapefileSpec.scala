@@ -205,6 +205,32 @@ class ShapefileSpec extends AnyFunSuite {
     assert(math.abs(Geom.area(hole) - 16.0) < 1e-9)
   }
 
+  test("bundleGeojson: FeatureCollection with typed dbf properties and closed rings (report.py:71-81)") {
+    val dir = java.nio.file.Files.createTempDirectory("shpgeojson").toString
+    val tri = Array(0.0, 0.0, 8.0, 0.0, 4.0, 6.0)
+    ShapefileIO.writeFile(s"$dir/t.shp",
+      Seq(ShpRecord(1, Seq(square)), ShpRecord(2, Seq(tri))),
+      ShapefileIO.MergeFields,
+      Seq(Seq[Any]("0", 100.0, 40.0, 0.875, 1), Seq[Any]("1", 24.0, 20.5, 0.5, 0)))
+    val json = ShapefileIO.bundleGeojson(s"$dir/t.shp")
+    assert(json.startsWith("""{"type": "FeatureCollection", "bbox": ["""))
+    assert(json.contains(""""type": "Feature""""))
+    // typed properties: N 24.15 -> float, N 18.0 -> int, C -> string
+    assert(json.contains(""""id": "0""""))
+    assert(json.contains(""""score": 0.875""") && json.contains(""""class": 1"""))
+    assert(json.contains(""""area": 24""") && json.contains(""""perimeter": 20.5"""))
+    // rings closed: first point repeated at the end of each ring
+    assert(json.contains("[0.5, 0.5]") )
+    val firstRing = json.split("\"coordinates\": ")(1)
+    assert(firstRing.startsWith("[[[0.5, 0.5]") && firstRing.contains("[10.5, 0.5], [0.5, 0.5]]"))
+    // the .js sibling artifact
+    ShapefileIO.writeGeojsonJs(s"$dir/t.shp")
+    val js = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/tree_geojson.js")), "UTF-8")
+    assert(js.startsWith("var tree_shapes = {\"type\": \"FeatureCollection\""))
+    assert(js.drop("var tree_shapes = ".length) === json)
+  }
+
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
     import spark.implicits._
     val crowns = graft.operators.CrownOps.synthesize(spark,
