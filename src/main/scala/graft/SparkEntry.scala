@@ -409,6 +409,26 @@ object SparkEntry {
         .toDF("region", "class_idx", "tile_id", "min_x", "min_y", "rows", "cols", "px_sum")
     }),
 
+    // --- distributed raster warp (P8, util.py reproject_image): the
+    // confidence mosaic warped by a world-coordinate affine (rotation
+    // about the extent center — the affine shape of
+    // calculate_default_transform), nearest resampling, nodata 0.
+    // Deterministic → pinned hash.
+    "raster_warp" -> ((s, dir) => {
+      import s.implicits._
+      val spec = GeoOps.TileGrid.Default
+      val crowns = CrownOps.synthesize(s, GeoOps.assignTiles(PagesGen.pagesFor(s, dir)), spec)
+      val tiles = RasterOps.mosaic(s, RasterOps.confidenceTiles(s, crowns, spec), spec)
+      val (cx, cy) = (spec.width / 2.0, spec.height / 2.0)
+      RasterOps.warpTiles(s, tiles, -1, 0, 2 * cx, 0, -1, 2 * cy)
+        .map { t =>
+          var s0 = 0L; var i = 0
+          while (i < t.data.length) { s0 += (t.data(i) & 0xff); i += 1 }
+          (t.region, t.classIdx, t.tileId, t.minX, t.minY, s0)
+        }
+        .toDF("region", "class_idx", "tile_id", "min_x", "min_y", "px_sum")
+    }),
+
     // --- shapefile trio round trip (S5): top merged crowns → full
     // .shp/.shx/.dbf export with the reference merge.py property
     // schema → distributed re-scan surfacing the dbf attributes

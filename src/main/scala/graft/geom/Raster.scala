@@ -231,6 +231,74 @@ object Raster {
     out
   }
 
+  /** General raster warp (P8, util.py:138-170 `reproject_image` /
+    * rasterio.warp.reproject structure): for each DESTINATION pixel
+    * center, `dstToSrc` maps its (x, y) to source pixel coordinates
+    * (the transformer), then the sample is taken nearest-neighbor
+    * (the reference's mask setting, `Resampling.nearest` with
+    * src/dst nodata 0) or bilinear (its imagery setting). Destination
+    * pixels mapping outside the source read as 0 = nodata, exactly the
+    * reference's "critical to keep masks" behavior. The mapping is a
+    * plain function, so an affine (see [[warpAffine]]) or any
+    * CRS-pair transformer plugs in without touching the kernel. */
+  def warpWith(src: Array[Byte], rows: Int, cols: Int,
+               outRows: Int, outCols: Int,
+               dstToSrc: (Double, Double) => (Double, Double),
+               bilinear: Boolean = false): Array[Byte] = {
+    val out = new Array[Byte](outRows * outCols)
+    var r = 0
+    while (r < outRows) {
+      var c = 0
+      while (c < outCols) {
+        val (sx, sy) = dstToSrc(c + 0.5, r + 0.5)
+        if (bilinear) {
+          val fy = sy - 0.5
+          val fx = sx - 0.5
+          if (fx > -1 && fx < cols && fy > -1 && fy < rows) {
+            val y0 = math.max(0, math.min(rows - 1, math.floor(fy).toInt))
+            val y1 = math.min(rows - 1, y0 + 1)
+            val wy = math.max(0.0, math.min(1.0, fy - y0))
+            val x0 = math.max(0, math.min(cols - 1, math.floor(fx).toInt))
+            val x1 = math.min(cols - 1, x0 + 1)
+            val wx = math.max(0.0, math.min(1.0, fx - x0))
+            val v =
+              (src(y0 * cols + x0) & 0xff) * (1 - wy) * (1 - wx) +
+              (src(y0 * cols + x1) & 0xff) * (1 - wy) * wx +
+              (src(y1 * cols + x0) & 0xff) * wy * (1 - wx) +
+              (src(y1 * cols + x1) & 0xff) * wy * wx
+            out(r * outCols + c) = math.round(v).toByte
+          } // else stays 0 = nodata
+        } else {
+          val sc = math.floor(sx).toInt
+          val sr = math.floor(sy).toInt
+          if (sc >= 0 && sc < cols && sr >= 0 && sr < rows)
+            out(r * outCols + c) = src(sr * cols + sc)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Affine warp: `fwd = (a, b, tx, d, e, ty)` maps SOURCE pixel
+    * coords to DESTINATION pixel coords (x' = a·x + b·y + tx,
+    * y' = d·x + e·y + ty); the kernel inverts it analytically and
+    * resamples per [[warpWith]]. Degenerate (non-invertible) affines
+    * fail loud. */
+  def warpAffine(src: Array[Byte], rows: Int, cols: Int,
+                 outRows: Int, outCols: Int,
+                 a: Double, b: Double, tx: Double,
+                 d: Double, e: Double, ty: Double,
+                 bilinear: Boolean = false): Array[Byte] = {
+    val det = a * e - b * d
+    require(math.abs(det) > 1e-12, s"non-invertible affine (det=$det)")
+    val (ia, ib, id, ie) = (e / det, -b / det, -d / det, a / det)
+    warpWith(src, rows, cols, outRows, outCols,
+      (x, y) => (ia * (x - tx) + ib * (y - ty), id * (x - tx) + ie * (y - ty)),
+      bilinear)
+  }
+
   /** Separable box blur with odd `kernel` size (edge-clamped) — the
     * reference's anti-alias "fake PSF" before downsampling
     * (data/tiling.py:427-437). */

@@ -189,6 +189,52 @@ object RasterOps {
       }
   }
 
+  /** Distributed raster warp (P8, util.py:138-170): apply a WORLD-
+    * coordinate affine `dst = A · src` to every tile — each tile warps
+    * independently into its transformed bounding window (snapped to
+    * the gsd grid so downstream [[mosaic]] paste offsets stay
+    * integer), nearest-neighbor by default (the reference's mask
+    * setting; bilinear for imagery-like data). Narrow per-tile pass —
+    * no shuffle; a cross-tile reassembly afterwards is exactly
+    * [[mosaic]] (max-paste resolves seam overlap). The affine covers
+    * the reference's `calculate_default_transform`-shaped reprojects;
+    * a non-affine CRS pair plugs into `Raster.warpWith` directly. */
+  def warpTiles(spark: SparkSession, tiles: Dataset[ConfTile],
+                a: Double, b: Double, tx: Double,
+                d: Double, e: Double, ty: Double,
+                bilinear: Boolean = false): Dataset[ConfTile] = {
+    import spark.implicits._
+    val det = a * e - b * d
+    require(math.abs(det) > 1e-12, s"non-invertible affine (det=$det)")
+    val (ia, ib, id, ie) = (e / det, -b / det, -d / det, a / det)
+    tiles.map { t =>
+      val maxX = t.minX + t.cols.toLong * t.gsd
+      val maxY = t.minY + t.rows.toLong * t.gsd
+      val corners = Seq(
+        (t.minX.toDouble, t.minY.toDouble), (maxX.toDouble, t.minY.toDouble),
+        (t.minX.toDouble, maxY.toDouble), (maxX.toDouble, maxY.toDouble))
+        .map { case (x, y) => (a * x + b * y + tx, d * x + e * y + ty) }
+      val gx0 = math.floor(corners.map(_._1).min / t.gsd).toLong * t.gsd
+      val gy0 = math.floor(corners.map(_._2).min / t.gsd).toLong * t.gsd
+      val gx1 = math.ceil(corners.map(_._1).max / t.gsd).toLong * t.gsd
+      val gy1 = math.ceil(corners.map(_._2).max / t.gsd).toLong * t.gsd
+      val dstCols = ((gx1 - gx0) / t.gsd).toInt
+      val dstRows = ((gy1 - gy0) / t.gsd).toInt
+      val data = graft.geom.Raster.warpWith(
+        t.data, t.rows, t.cols, dstRows, dstCols,
+        dstToSrc = (px, py) => {
+          // dst pixel → dst world → inverse affine → src world → src pixel
+          val wx = gx0 + px * t.gsd
+          val wy = gy0 + py * t.gsd
+          val sx = ia * (wx - tx) + ib * (wy - ty)
+          val sy = id * (wx - tx) + ie * (wy - ty)
+          ((sx - t.minX) / t.gsd, (sy - t.minY) / t.gsd)
+        },
+        bilinear = bilinear)
+      ConfTile(t.region, t.tileId, t.classIdx, gx0, gy0, dstRows, dstCols, t.gsd, data)
+    }
+  }
+
   /** Coverage statistics (A5): per (region, class), fraction of pixels
     * with confidence > thr (in 255 units), in ppm for integer-exact
     * comparisons. */

@@ -233,6 +233,50 @@ class RasterPathSpec extends AnyFunSuite {
     assert(rle.sum === rows * cols)
   }
 
+  test("warp kernel: identity copies, scale-2 nearest duplicates, degenerate affine throws") {
+    import graft.geom.Raster
+    val src = Array.tabulate(4 * 6)(i => ((i * 37) % 251 + 1).toByte)
+    // identity
+    assert(Raster.warpAffine(src, 4, 6, 4, 6, 1, 0, 0, 0, 1, 0) sameElements src)
+    // scale ×2 nearest: each source pixel becomes a 2×2 block
+    val up = Raster.warpAffine(src, 4, 6, 8, 12, 2, 0, 0, 0, 2, 0)
+    for (r <- 0 until 8; c <- 0 until 12)
+      assert(up(r * 12 + c) === src((r / 2) * 6 + c / 2), s"($r,$c)")
+    // out-of-source destination pixels read nodata 0
+    val shifted = Raster.warpAffine(src, 4, 6, 4, 6, 1, 0, 2, 0, 1, 0) // +2 px x-shift
+    for (r <- 0 until 4) {
+      assert(shifted(r * 6) === 0.toByte && shifted(r * 6 + 1) === 0.toByte)
+      for (c <- 2 until 6) assert(shifted(r * 6 + c) === src(r * 6 + c - 2))
+    }
+    // bilinear identity is also exact (centers map to centers)
+    assert(Raster.warpAffine(src, 4, 6, 4, 6, 1, 0, 0, 0, 1, 0, bilinear = true)
+      sameElements src)
+    intercept[IllegalArgumentException] {
+      Raster.warpAffine(src, 4, 6, 4, 6, 1, 2, 0, 2, 4, 0) // det 0
+    }
+  }
+
+  test("warpTiles: world translation shifts origins; 180° rotation twice is identity") {
+    import spark.implicits._
+    val t = synthConfTile(64, 64, 8).copy(minX = 1024, minY = 512)
+    val ds = spark.createDataset(Seq(t))
+    // translation by whole cells: pure origin shift, pixels identical
+    val moved = RasterOps.warpTiles(spark, ds, 1, 0, 8 * 3, 0, 1, -8 * 2).head()
+    assert(moved.minX === 1024 + 24 && moved.minY === 512 - 16)
+    assert(moved.rows === t.rows && moved.cols === t.cols)
+    assert(moved.data sameElements t.data)
+    // 180° rotation about the tile center, applied twice → identity
+    val cx = t.minX + t.cols * 8 / 2.0
+    val cy = t.minY + t.rows * 8 / 2.0
+    val rot = RasterOps.warpTiles(spark, ds,
+      -1, 0, 2 * cx, 0, -1, 2 * cy)
+    val back = RasterOps.warpTiles(spark, rot, -1, 0, 2 * cx, 0, -1, 2 * cy).head()
+    assert(back.minX === t.minX && back.minY === t.minY)
+    assert(back.data sameElements t.data)
+    // single rotation actually moves pixels (sanity that the test bites)
+    assert(!(rot.head().data sameElements t.data))
+  }
+
   test("mosaic fails loud on mixed-gsd tiles in one group") {
     import spark.implicits._
     val a = RasterOps.ConfTile(0, 0, 0, 0, 0, 128, 128, 8, new Array[Byte](128 * 128))
