@@ -132,6 +132,98 @@ final case class CrownResult(
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/coverage.json"),
       cov.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** The report bundle (report.py:18-35 generate_report +
+    * results_to_report): every DATA artifact the reference's report
+    * folder carries, minus the HTML/PDF template render (a
+    * liquid/wkhtmltopdf shell around these same files):
+    *
+    *   - `<stem>_tcd_<threshold>.shp/.shx/.dbf` — tree instances with
+    *     the merge property schema (report.py:111-115 save_shapefile)
+    *   - `tree_geojson.js` — the GeoJSON bundle (report.py:116 +71-81)
+    *   - `area_histogram.jpg` — REAL JPEG bar render of the crown-area
+    *     histogram (report.py:122-129: 75 bins over
+    *     [0.5, quantile(areas, 0.9)]), drawn with JDK Graphics2D
+    *   - `area_histogram.json` — the binned data behind the image
+    *   - `masks/` — the per-class confidence mosaic as GeoTIFF tiles
+    *     (save_masks analogue, S7 sink)
+    *   - `report.json` — the results_to_report data map: tree count,
+    *     canopy/tree cover, image area/resolution, extent bounds
+    *
+    * FIXTURE-SCALE on the shapefile/histogram path (driver collect,
+    * like [[serialise]]); masks and covers stay distributed. */
+  def report(outDir: String, stem: String = "graft"): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    val trees = getTrees.as[CrownOps.MergedCrown].collect()
+      .sortBy(m => (-m.score, m.region, m.minX, m.minY)).toSeq
+
+    val shp = s"$outDir/${stem}_tcd_$threshold.shp"
+    graft.tables.ShapefileIO.writeMergedCrowns(shp, trees)
+    graft.tables.ShapefileIO.writeGeojsonJs(shp)
+
+    // area histogram (report.py:118-129): areas are world-unit²;
+    // micro-units keep the operator's integer contract
+    val areas = spark.createDataset(trees.map(m =>
+        (m.region, m.classIdx.toLong, math.round(m.area * 1e6))))
+      .toDF("region", "class_idx", "area_micro")
+    val hist = CrownOps.areaHistogram(areas)
+      .orderBy("region", "class_idx", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val histJson = hist.map { case (rg, cl, b, n) =>
+      s"""{"region":$rg,"class_idx":$cl,"bin":$b,"cnt":$n}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(dir.resolve("area_histogram.json"),
+      histJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    renderHistogramJpg(dir.resolve("area_histogram.jpg").toString,
+      hist.map { case (_, _, b, n) => (b.toInt, n) })
+
+    graft.tables.GeoTiffIO.writeTable(mosaic, s"$outDir/masks", deflate = true)
+
+    val covRows = canopyCover.orderBy("region").collect()
+    val treeRows = treeCover.orderBy("region").collect()
+    def covJson(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      s"""{"region":${r.getLong(0)},"cover_ppm":${r.getLong(1)}}""").mkString("[", ",", "]")
+    val gsd = rasterGsd
+    val side = GeoOps.TileGrid.ExtentX
+    val json =
+      s"""{"image_name":"$stem","number_trees":${trees.size},""" +
+      s""""image_res":$gsd,"image_area":${side * side},""" +
+      s""""map_bounds":{"x":[0,$side],"y":[0,$side]},""" +
+      s""""confidence_threshold":${FixtureIO.fmt(threshold)},""" +
+      s""""geojson":"tree_geojson.js","area_histogram":"area_histogram.jpg",""" +
+      s""""canopy_cover":${covJson(covRows)},"tree_cover":${covJson(treeRows)}}"""
+    java.nio.file.Files.write(dir.resolve("report.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Minimal deterministic bar render (matplotlib-hist stand-in): white
+    * canvas, black axes, filled bars over 75 bins. */
+  private def renderHistogramJpg(path: String, bins: Seq[(Int, Long)]): Unit = {
+    val (w, h, pad) = (640, 400, 32)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, w, h)
+      g.setColor(java.awt.Color.BLACK)
+      g.drawLine(pad, h - pad, w - pad, h - pad)
+      g.drawLine(pad, pad, pad, h - pad)
+      if (bins.nonEmpty) {
+        val byBin = bins.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val maxN = math.max(1L, byBin.values.max)
+        val nBins = 75
+        val bw = (w - 2 * pad).toDouble / nBins
+        g.setColor(new java.awt.Color(60, 120, 60))
+        byBin.foreach { case (b, n) =>
+          val bh = ((h - 2 * pad).toDouble * n / maxN).toInt
+          g.fillRect((pad + b * bw).toInt, h - pad - bh, math.max(1, bw.toInt - 1), bh)
+        }
+      }
+    } finally g.dispose()
+    val out = new java.io.File(path)
+    javax.imageio.ImageIO.write(img, "jpg", out)
+  }
 }
 
 /** The `Pipeline(...).predict(...)` analogue (reference pipeline.py +

@@ -107,4 +107,31 @@ class ApiSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/coverage.json")))
     assert(cov.startsWith("[{\"region\":0,"))
   }
+
+  test("report bundle: shapefile trio + geojson + histogram jpg/json + GeoTIFF masks + report.json") {
+    val dir = java.nio.file.Files.createTempDirectory("crownreport").toString
+    result.report(dir, stem = "site")
+    def file(n: String) = java.nio.file.Paths.get(dir, n)
+    // reference report-folder artifacts (report.py generate_report)
+    for (ext <- Seq("shp", "shx", "dbf"))
+      assert(java.nio.file.Files.exists(file(s"site_tcd_0.3.$ext")), ext)
+    val js = new String(java.nio.file.Files.readAllBytes(file("tree_geojson.js")), "UTF-8")
+    assert(js.startsWith("var tree_shapes = {\"type\": \"FeatureCollection\""))
+    // the histogram image is a REAL JPEG: decode it back with JdkCodec
+    val jpg = java.nio.file.Files.readAllBytes(file("area_histogram.jpg"))
+    val img = graft.operators.Multimodal.JdkCodec.decodeImage(jpg)
+    assert(img.isDefined && img.get.getWidth === 640 && img.get.getHeight === 400)
+    // histogram json matches the operator output row count
+    val hj = new String(java.nio.file.Files.readAllBytes(file("area_histogram.json")), "UTF-8")
+    assert(hj.startsWith("[{\"region\":") && hj.contains("\"bin\":"))
+    // masks: GeoTIFF tiles that scan back
+    val masks = graft.tables.GeoTiffIO.readTable(spark, s"$dir/masks").collect()
+    assert(masks.nonEmpty && masks.forall(_.data.nonEmpty))
+    // report data map
+    val rj = new String(java.nio.file.Files.readAllBytes(file("report.json")), "UTF-8")
+    assert(rj.contains("\"image_name\":\"site\""))
+    assert(rj.contains("\"number_trees\":") && rj.contains("\"canopy_cover\":[{\"region\":0,"))
+    val nTrees = "\"number_trees\":(\\d+)".r.findFirstMatchIn(rj).get.group(1).toInt
+    assert(nTrees === result.getTrees.count().toInt)
+  }
 }
