@@ -160,8 +160,15 @@ final case class CrownResult(
       .sortBy(m => (-m.score, m.region, m.minX, m.minY)).toSeq
 
     val shp = s"$outDir/${stem}_tcd_$threshold.shp"
-    graft.tables.ShapefileIO.writeMergedCrowns(shp, trees)
-    graft.tables.ShapefileIO.writeGeojsonJs(shp)
+    val (recs, attrs) = graft.tables.ShapefileIO.mergedCrownRecords(trees)
+    graft.tables.ShapefileIO.writeFile(shp, recs, graft.tables.ShapefileIO.MergeFields, attrs)
+    // geojson straight from the in-memory records (no re-read/re-parse
+    // of the trio that was just written)
+    val geo = graft.tables.ShapefileIO.bundleGeojson(recs,
+      graft.tables.ShapefileIO.MergeFields,
+      attrs.map(graft.tables.ShapefileIO.cellStrings(graft.tables.ShapefileIO.MergeFields, _)))
+    java.nio.file.Files.write(dir.resolve("tree_geojson.js"),
+      ("var tree_shapes = " + geo).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // area histogram (report.py:118-129): areas are world-unit²;
     // micro-units keep the operator's integer contract

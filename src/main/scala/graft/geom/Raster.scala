@@ -284,8 +284,8 @@ object Raster {
   /** Affine warp: `fwd = (a, b, tx, d, e, ty)` maps SOURCE pixel
     * coords to DESTINATION pixel coords (x' = a·x + b·y + tx,
     * y' = d·x + e·y + ty); the kernel inverts it analytically and
-    * resamples per [[warpWith]]. Degenerate (non-invertible) affines
-    * fail loud. */
+    * resamples per [[warpInverseAffine]]. Degenerate (non-invertible)
+    * affines fail loud. */
   def warpAffine(src: Array[Byte], rows: Int, cols: Int,
                  outRows: Int, outCols: Int,
                  a: Double, b: Double, tx: Double,
@@ -293,10 +293,60 @@ object Raster {
                  bilinear: Boolean = false): Array[Byte] = {
     val det = a * e - b * d
     require(math.abs(det) > 1e-12, s"non-invertible affine (det=$det)")
-    val (ia, ib, id, ie) = (e / det, -b / det, -d / det, a / det)
-    warpWith(src, rows, cols, outRows, outCols,
-      (x, y) => (ia * (x - tx) + ib * (y - ty), id * (x - tx) + ie * (y - ty)),
+    warpInverseAffine(src, rows, cols, outRows, outCols,
+      e / det, -b / det, (b * ty - e * tx) / det,
+      -d / det, a / det, (d * tx - a * ty) / det,
       bilinear)
+  }
+
+  /** Affine warp given the INVERSE mapping directly (dst pixel →
+    * src pixel: sx = ia·x + ib·y + itx, sy = id·x + ie·y + ity).
+    * Allocation-free hot loop like the other kernels here — the
+    * affine case never pays [[warpWith]]'s per-pixel closure/tuple;
+    * callers with a composed pixel-space affine (warpTiles) come
+    * here. */
+  def warpInverseAffine(src: Array[Byte], rows: Int, cols: Int,
+                        outRows: Int, outCols: Int,
+                        ia: Double, ib: Double, itx: Double,
+                        id: Double, ie: Double, ity: Double,
+                        bilinear: Boolean = false): Array[Byte] = {
+    val out = new Array[Byte](outRows * outCols)
+    var r = 0
+    while (r < outRows) {
+      val y = r + 0.5
+      var c = 0
+      while (c < outCols) {
+        val x = c + 0.5
+        val sx = ia * x + ib * y + itx
+        val sy = id * x + ie * y + ity
+        if (bilinear) {
+          val fy = sy - 0.5
+          val fx = sx - 0.5
+          if (fx > -1 && fx < cols && fy > -1 && fy < rows) {
+            val y0 = math.max(0, math.min(rows - 1, math.floor(fy).toInt))
+            val y1 = math.min(rows - 1, y0 + 1)
+            val wy = math.max(0.0, math.min(1.0, fy - y0))
+            val x0 = math.max(0, math.min(cols - 1, math.floor(fx).toInt))
+            val x1 = math.min(cols - 1, x0 + 1)
+            val wx = math.max(0.0, math.min(1.0, fx - x0))
+            val v =
+              (src(y0 * cols + x0) & 0xff) * (1 - wy) * (1 - wx) +
+              (src(y0 * cols + x1) & 0xff) * (1 - wy) * wx +
+              (src(y1 * cols + x0) & 0xff) * wy * (1 - wx) +
+              (src(y1 * cols + x1) & 0xff) * wy * wx
+            out(r * outCols + c) = math.round(v).toByte
+          }
+        } else {
+          val sc = math.floor(sx).toInt
+          val sr = math.floor(sy).toInt
+          if (sc >= 0 && sc < cols && sr >= 0 && sr < rows)
+            out(r * outCols + c) = src(sr * cols + sc)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** Separable box blur with odd `kernel` size (edge-clamped) — the

@@ -151,6 +151,12 @@ object RasterOps {
     val nCx = math.ceil(spec.width.toDouble / cacheTileSize).toInt
     cropped
       .flatMap { t =>
+        // this operator assumes the non-negative inference grid — a
+        // tile at negative world coords (e.g. a warped tile) would be
+        // truncated into cache cell 0 by the divisions below; those
+        // inputs belong on [[reassemble]]
+        require(t.minX >= 0 && t.minY >= 0,
+          s"mosaic tile at negative origin (${t.minX}, ${t.minY}) — use reassemble for warped tiles")
         // output tiles overlapped by this (cropped) tile
         val maxX = t.minX + t.cols.toLong * t.gsd
         val maxY = t.minY + t.rows.toLong * t.gsd
@@ -195,10 +201,12 @@ object RasterOps {
     * the gsd grid so downstream [[mosaic]] paste offsets stay
     * integer), nearest-neighbor by default (the reference's mask
     * setting; bilinear for imagery-like data). Narrow per-tile pass —
-    * no shuffle; a cross-tile reassembly afterwards is exactly
-    * [[mosaic]] (max-paste resolves seam overlap). The affine covers
-    * the reference's `calculate_default_transform`-shaped reprojects;
-    * a non-affine CRS pair plugs into `Raster.warpWith` directly. */
+    * no shuffle; cross-tile reassembly afterwards is [[reassemble]]
+    * (paste-only regroup — NOT [[mosaic]], whose innerCrop and
+    * non-negative grid assumptions are specific to the overlapping
+    * inference grid). The affine covers the reference's
+    * `calculate_default_transform`-shaped reprojects; a non-affine CRS
+    * pair plugs into `Raster.warpWith` directly. */
   def warpTiles(spark: SparkSession, tiles: Dataset[ConfTile],
                 a: Double, b: Double, tx: Double,
                 d: Double, e: Double, ty: Double,
@@ -220,19 +228,61 @@ object RasterOps {
       val gy1 = math.ceil(corners.map(_._2).max / t.gsd).toLong * t.gsd
       val dstCols = ((gx1 - gx0) / t.gsd).toInt
       val dstRows = ((gy1 - gy0) / t.gsd).toInt
-      val data = graft.geom.Raster.warpWith(
+      // compose (dst pixel → dst world → A⁻¹ → src world → src pixel)
+      // into ONE pixel-space inverse affine: the allocation-free
+      // kernel runs it with no per-pixel closure or tuple
+      val g = t.gsd.toDouble
+      val pia = ia; val pib = ib
+      val pitx = (ia * (gx0 - tx) + ib * (gy0 - ty) - t.minX) / g
+      val pid = id; val pie = ie
+      val pity = (id * (gx0 - tx) + ie * (gy0 - ty) - t.minY) / g
+      val data = graft.geom.Raster.warpInverseAffine(
         t.data, t.rows, t.cols, dstRows, dstCols,
-        dstToSrc = (px, py) => {
-          // dst pixel → dst world → inverse affine → src world → src pixel
-          val wx = gx0 + px * t.gsd
-          val wy = gy0 + py * t.gsd
-          val sx = ia * (wx - tx) + ib * (wy - ty)
-          val sy = id * (wx - tx) + ie * (wy - ty)
-          ((sx - t.minX) / t.gsd, (sy - t.minY) / t.gsd)
-        },
-        bilinear = bilinear)
+        pia, pib, pitx, pid, pie, pity, bilinear = bilinear)
       ConfTile(t.region, t.tileId, t.classIdx, gx0, gy0, dstRows, dstCols, t.gsd, data)
     }
+  }
+
+  /** Paste-only regroup of (possibly warped) tiles onto the
+    * `cacheTileSize` output grid — [[mosaic]] without its
+    * overlapping-grid innerCrop, and with floor semantics so tiles at
+    * NEGATIVE world coordinates land in the right (negative-indexed)
+    * cache cell instead of being truncated toward cell 0. Cache ids
+    * are (cy·2^21 + cx) over floor-divided signed cell coords. */
+  def reassemble(spark: SparkSession, tiles: Dataset[ConfTile],
+                 cacheTileSize: Long = 1024): Dataset[ConfTile] = {
+    import spark.implicits._
+    tiles
+      .flatMap { t =>
+        require(cacheTileSize % t.gsd == 0,
+          s"gsd=${t.gsd} does not divide cacheTileSize=$cacheTileSize")
+        val maxX = t.minX + t.cols.toLong * t.gsd
+        val maxY = t.minY + t.rows.toLong * t.gsd
+        for {
+          cy <- Math.floorDiv(t.minY, cacheTileSize) to Math.floorDiv(maxY - 1, cacheTileSize)
+          cx <- Math.floorDiv(t.minX, cacheTileSize) to Math.floorDiv(maxX - 1, cacheTileSize)
+        } yield ((t.region, t.classIdx, cy, cx), t)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Long, Int, Long, Long), it: Iterator[((Long, Int, Long, Long), ConfTile)]) =>
+        val (region, classIdx, cy, cx) = key
+        // bijective signed packing for the output tile id (|cx| < 2^21)
+        require(math.abs(cx) < (1L << 21), s"cache column $cx out of id range")
+        val cacheId = cy * (1L << 22) + (cx + (1L << 21))
+        val first = it.next()._2
+        val gsd = first.gsd
+        val cc = (cacheTileSize / gsd).toInt
+        val baseX = cx * cacheTileSize
+        val baseY = cy * cacheTileSize
+        val canvas = new Array[Byte](cc * cc)
+        (Iterator.single(first) ++ it.map(_._2)).foreach { t =>
+          require(t.gsd == gsd, s"reassemble group mixes gsd ${t.gsd} with $gsd")
+          Raster.paste(canvas, cc, cc, t.data, t.rows, t.cols,
+            Math.floorDiv(t.minY - baseY, gsd).toInt,
+            Math.floorDiv(t.minX - baseX, gsd).toInt, mode = 1)
+        }
+        ConfTile(region, cacheId, classIdx, baseX, baseY, cc, cc, gsd, canvas)
+      }
   }
 
   /** Coverage statistics (A5): per (region, class), fraction of pixels

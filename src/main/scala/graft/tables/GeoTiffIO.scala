@@ -264,6 +264,14 @@ object GeoTiffIO {
             if (got == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
             len += got
           }
+          // force trailer validation: zlib's adler32 is only checked
+          // when the END of the stream is consumed — without this,
+          // corruption that still inflates to exactly tw*th bytes
+          // (e.g. a flipped byte in a stored block) would pass
+          if (!stalled && len == out.length && !inf.finished()) {
+            inf.inflate(new Array[Byte](1))
+            if (!inf.finished()) stalled = true // trailer truncated
+          }
         } catch {
           case e: java.util.zip.DataFormatException =>
             throw new IllegalArgumentException(s"corrupt deflate tile $i: ${e.getMessage}")

@@ -105,7 +105,16 @@ object IcebergLite {
     while (true) {
       try {
         Files.createFile(dir.resolve(s"id-$cand"))
-        return cand
+        // CLOSE THE PRUNE WINDOW: another writer may have committed
+        // this very id (and pruned its marker) between our manifest
+        // read and the createFile — holding the marker is only
+        // ownership if the id is still above the committed max.
+        // In-flight lower ids stay safe: candidates always start above
+        // the committed max, so a pruned-but-uncommitted marker's id
+        // can never be handed out again.
+        if (snapshots(root).map(_.id).maxOption.getOrElse(0L) < cand) return cand
+        scala.util.Try(Files.deleteIfExists(dir.resolve(s"id-$cand")))
+        cand = math.max(cand, snapshots(root).map(_.id).maxOption.getOrElse(0L)) + 1
       } catch { case _: java.nio.file.FileAlreadyExistsException => cand += 1 }
     }
     -1L // unreachable

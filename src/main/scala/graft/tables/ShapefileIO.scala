@@ -385,6 +385,15 @@ object ShapefileIO {
     * GIS readers subtract hole area instead of double-counting a donut
     * crown as two filled polygons. */
   def writeMergedCrowns(path: String, crowns: Seq[graft.operators.CrownOps.MergedCrown]): Unit = {
+    val (recs, attrs) = mergedCrownRecords(crowns)
+    writeFile(path, recs, MergeFields, attrs)
+  }
+
+  /** The (records, attribute rows) a merged-crown export serializes —
+    * shared by [[writeMergedCrowns]] and in-memory consumers (report's
+    * GeoJSON bundle) so the trio is built exactly once. */
+  def mergedCrownRecords(crowns: Seq[graft.operators.CrownOps.MergedCrown])
+      : (Seq[ShpRecord], Seq[Seq[Any]]) = {
     import graft.geom.Geom
     val recs = crowns.zipWithIndex.map { case (m, i) =>
       val rings = m.geom.toSeq
@@ -400,10 +409,18 @@ object ShapefileIO {
       ShpRecord(i + 1, oriented)
     }
     val attrs = crowns.zipWithIndex.map { case (m, i) =>
-      Seq(i.toString, m.area, m.perimeter, m.score, m.classIdx)
+      Seq[Any](i.toString, m.area, m.perimeter, m.score, m.classIdx)
     }
-    writeFile(path, recs, MergeFields, attrs)
+    (recs, attrs)
   }
+
+  /** Attribute values rendered exactly as their dbf cells read back
+    * (trimmed fixed-format text) — keeps the in-memory GeoJSON path
+    * byte-identical to the read-from-disk one. */
+  def cellStrings(fields: Seq[DbfField], row: Seq[Any]): Seq[String] =
+    fields.zip(row).map { case (f, v) =>
+      new String(formatCell(f, v), StandardCharsets.US_ASCII).trim
+    }
 
   /** GeoJSON bundle of a shapefile trio (report.py:71-81
     * `bundle_geojson`): the reference reads the .shp+.dbf through
@@ -422,6 +439,13 @@ object ShapefileIO {
     val (fields, rows): (Seq[DbfField], Seq[Seq[String]]) =
       if (Files.exists(dbf)) parseDbf(Files.readAllBytes(dbf))
       else (Seq.empty, Seq.empty)
+    bundleGeojson(recs, fields, rows)
+  }
+
+  /** In-memory variant (report() already holds the records — no need
+    * to re-read and re-parse the trio it just wrote). */
+  def bundleGeojson(recs: Seq[ShpRecord], fields: Seq[DbfField],
+                    rows: Seq[Seq[String]]): String = {
     def jsonProp(f: DbfField, cell: String): String = {
       val v =
         if (cell.isEmpty) "null"
@@ -431,18 +455,45 @@ object ShapefileIO {
         } else "\"" + cell.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       "\"" + f.name + "\": " + v
     }
+    def closedRing(ring: Array[Double]): String = {
+      val pts = ring.grouped(2).map(p => s"[${FixtureIO.fmt(p(0))}, ${FixtureIO.fmt(p(1))}]")
+      // GeoJSON rings are closed: repeat the first point
+      (pts ++ Iterator.single(
+        s"[${FixtureIO.fmt(ring(0))}, ${FixtureIO.fmt(ring(1))}]")).mkString("[", ", ", "]")
+    }
     val feats = recs.map { r =>
       val props = rows.lift(r.recordNum - 1) match {
         case Some(row) => fields.zip(row).map { case (f, c) => jsonProp(f, c) }.mkString(", ")
         case None => ""
       }
-      val coords = r.rings.map { ring =>
-        val pts = ring.grouped(2).map(p => s"[${FixtureIO.fmt(p(0))}, ${FixtureIO.fmt(p(1))}]")
-        // GeoJSON rings are closed: repeat the first point
-        (pts ++ Iterator.single(
-          s"[${FixtureIO.fmt(ring(0))}, ${FixtureIO.fmt(ring(1))}]")).mkString("[", ", ", "]")
-      }.mkString("[", ", ", "]")
-      s"""{"type": "Feature", "properties": {$props}, "geometry": {"type": "Polygon", "coordinates": $coords}}"""
+      // a shapefile record may hold SEVERAL outer rings (legal: one
+      // record, multiple CW parts) — RFC 7946 then requires
+      // MultiPolygon, or the second outer reads as a hole of the
+      // first (pyshp's __geo_interface__ makes the same distinction).
+      // Shapefile winding is authoritative: CW (negative signed area)
+      // = outer, CCW = hole; each hole attaches to the smallest outer
+      // containing its first vertex.
+      import graft.geom.Geom
+      val outers = r.rings.filter(rg => Geom.signedArea(rg) <= 0)
+      val holes = r.rings.filter(rg => Geom.signedArea(rg) > 0)
+      val polys: Seq[Seq[Array[Double]]] =
+        if (outers.size <= 1) Seq(r.rings) // preserve record order in the simple case
+        else {
+          val grouped = outers.map(o => (o, scala.collection.mutable.ArrayBuffer[Array[Double]]()))
+          holes.foreach { h =>
+            val candidates = grouped.filter { case (o, _) => Geom.containsPoint(o, h(0), h(1)) }
+            if (candidates.nonEmpty)
+              candidates.minBy { case (o, _) => Geom.area(o) }._2 += h
+          }
+          grouped.map { case (o, hs) => o +: hs.toSeq }
+        }
+      val geometry =
+        if (polys.size == 1)
+          s"""{"type": "Polygon", "coordinates": ${polys.head.map(closedRing).mkString("[", ", ", "]")}}"""
+        else
+          s"""{"type": "MultiPolygon", "coordinates": ${
+            polys.map(_.map(closedRing).mkString("[", ", ", "]")).mkString("[", ", ", "]")}}"""
+      s"""{"type": "Feature", "properties": {$props}, "geometry": $geometry}"""
     }
     val allPts = recs.flatMap(_.rings).flatMap(_.grouped(2).map(p => (p(0), p(1))))
     val bbox =

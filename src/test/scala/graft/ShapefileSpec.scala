@@ -231,6 +231,35 @@ class ShapefileSpec extends AnyFunSuite {
     assert(js.drop("var tree_shapes = ".length) === json)
   }
 
+  test("bundleGeojson: multi-outer record emits MultiPolygon with the hole on the right outer") {
+    // two CW outers + one CCW hole inside outer A — RFC 7946 demands
+    // MultiPolygon here (a single Polygon would read outer B as a hole)
+    val outerA = Array(0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0)    // CW
+    val holeA = Array(2.0, 2.0, 5.0, 2.0, 5.0, 5.0, 2.0, 5.0)         // CCW
+    val outerB = Array(20.0, 0.0, 0.0 + 20.0, 10.0, 30.0, 10.0, 30.0, 0.0) // CW
+    assert(Geom.signedArea(outerA) < 0 && Geom.signedArea(outerB) < 0 && Geom.signedArea(holeA) > 0)
+    val dir = java.nio.file.Files.createTempDirectory("shpmp").toString
+    ShapefileIO.writeFile(s"$dir/mp.shp", Seq(ShpRecord(1, Seq(outerA, holeA, outerB))))
+    val json = ShapefileIO.bundleGeojson(s"$dir/mp.shp")
+    assert(json.contains("\"type\": \"MultiPolygon\""))
+    // two polygons: [outerA, holeA] and [outerB]
+    val coords = json.split("\"coordinates\": ")(1)
+    assert(coords.startsWith("[[[[0, 0]")) // outer A first
+    assert(coords.contains("[[2, 2]"))      // its hole in the same polygon
+    assert(coords.contains("[[[20, 0]"))    // outer B as a separate polygon
+    // single-outer records still emit plain Polygon
+    ShapefileIO.writeFile(s"$dir/p.shp", Seq(ShpRecord(1, Seq(outerA, holeA))))
+    assert(ShapefileIO.bundleGeojson(s"$dir/p.shp").contains("\"type\": \"Polygon\""))
+    // in-memory bundle is byte-identical to the from-disk one
+    val (recs, attrs) = (Seq(ShpRecord(1, Seq(outerA, holeA, outerB))),
+      Seq(Seq[Any]("0", 84.0, 60.0, 0.9, 1)))
+    ShapefileIO.writeFile(s"$dir/m2.shp", recs, ShapefileIO.MergeFields, attrs)
+    val fromDisk = ShapefileIO.bundleGeojson(s"$dir/m2.shp")
+    val inMem = ShapefileIO.bundleGeojson(recs, ShapefileIO.MergeFields,
+      attrs.map(ShapefileIO.cellStrings(ShapefileIO.MergeFields, _)))
+    assert(inMem === fromDisk)
+  }
+
   test("pipeline geoms round trip through a shapefile (exact vertices)") {
     import spark.implicits._
     val crowns = graft.operators.CrownOps.synthesize(spark,
