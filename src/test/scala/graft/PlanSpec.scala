@@ -175,4 +175,27 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
     assert(shuffles === 1, s"expected exactly one shuffle Exchange:\n$plan")
   }
+
+  test("crown_area_hist plan: q90 joined back via BROADCAST, partial count aggregation") {
+    val df = SparkEntry.queries("crown_area_hist")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    // the per-group q90 side is tiny (regions × classes rows) — it must
+    // come back as a broadcast join, not a shuffle join over the data
+    assert(plan.contains("BroadcastHashJoin"), s"q90 join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    // the final bin counting partial-aggregates map-side
+    assert("HashAggregate".r.findAllMatchIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("geo_union_area plan: st_union_agg partial-aggregates map-side (one shuffle on the group key)") {
+    val df = SparkEntry.queries("geo_union_area")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    // a true Aggregator shows two ObjectHashAggregate phases around
+    // one exchange — the map-side-combine shape that lets hot groups
+    // compact their ring buffers BEFORE the shuffle
+    assert("ObjectHashAggregate".r.findAllMatchIn(plan).size >= 2,
+      s"union aggregate not partial:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(shuffles === 1, s"expected exactly one shuffle:\n$plan")
+  }
 }
