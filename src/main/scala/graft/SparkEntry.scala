@@ -458,6 +458,13 @@ object SparkEntry {
     // independently by counting distinct covered unit cells.
     "geo_union_area" -> ((s, dir) => {
       GraftExtensions.register(s)
+      // EXPLICIT co-partitioning on the group key: the shuffled union
+      // buffers are small in BYTES but the per-group overlay is
+      // CPU-heavy, so AQE's size-based coalescing would squeeze the
+      // reduce into 1-2 partitions and serialize the math (measured
+      // 2.1× slower). A user-specified repartition is exempt from
+      // coalescing; the group-by then reuses the partitioning (still
+      // exactly one exchange — plan-asserted).
       PagesGen.pagesFor(s, dir)
         .select((col("i") % 500).as("g"),
           ((col("i") * 37) % 24).cast("double").as("x0"),
@@ -465,6 +472,7 @@ object SparkEntry {
           (lit(2) + col("i") % 7).cast("double").as("w"),
           (lit(2) + (col("i") * 3) % 5).cast("double").as("h"))
         .selectExpr("g", "array(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h) AS poly")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("g"))
         .groupBy(col("g"))
         .agg(graft.functions.UnionAggApi.st_union_agg(col("poly")).as("u"))
         .selectExpr("g",
