@@ -490,16 +490,16 @@ object CrownOps {
     * into bin 0. Input must carry (region, class_idx, area_micro
     * BIGINT) — integer micro-m² so both engines bin identical values.
     *
-    * 100-TB shape: one partial-aggregatable percentile per group (the
-    * group count is bounded by regions × classes, so the broadcast
-    * join back is tiny), then a narrow bin projection + count. The
-    * exact `percentile` buffers a group's values like q_percentile;
-    * `approx_percentile` is the documented swap at extreme group
-    * cardinality. */
+    * 100-TB shape: the q90 comes from the sort-based
+    * [[Quantiles.exactPercentiles]] (one window sort; no
+    * buffer-all-values aggregation, bit-identical to the built-in
+    * `percentile`), its tiny result (regions × classes rows)
+    * broadcast-joins back, then a narrow bin projection + count. */
   def areaHistogram(areas: DataFrame, bins: Int = 75,
                     loMicro: Long = 500000L): DataFrame = {
-    val hi = areas.groupBy(col("region"), col("class_idx"))
-      .agg(expr("percentile(area_micro, 0.9)").as("hi"))
+    val hi = Quantiles.exactPercentiles(areas, Seq("region", "class_idx"),
+        col("area_micro"), Seq(0.9))
+      .select(col("region"), col("class_idx"), col("q0").as("hi"))
     areas.join(broadcast(hi), Seq("region", "class_idx"))
       .where(col("area_micro") >= loMicro && col("area_micro") <= col("hi"))
       .withColumn("bin",

@@ -286,6 +286,30 @@ class OpsSpec extends AnyFunSuite {
     resized.foreach(r => assert(r.getAs[Array[Byte]]("resized").length === 256))
   }
 
+  test("Quantiles.exactPercentiles bit-matches the built-in percentile aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // groups of sizes 1, 2, 3, 7, 100, 1000 with duplicates and
+    // negative values — every interpolation edge
+    val rows = Seq(1, 2, 3, 7, 100, 1000).zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map(_ => (s"g$g", (rnd.nextInt(500) - 250).toDouble))
+    }
+    val df = rows.toDF("k", "v")
+    for (qs <- Seq(Seq(0.5), Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))) {
+      val ours = graft.operators.Quantiles.exactPercentiles(df, "k", col("v"), qs)
+        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+      val builtin = df.groupBy("k")
+        .agg(qs.map(q => expr(s"percentile(v, $q)")).head,
+          qs.map(q => expr(s"percentile(v, $q)")).tail: _*)
+        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+      ours.keySet.foreach { k =>
+        ours(k).zip(builtin(k)).foreach { case (a, b) =>
+          assert(a === b, s"key $k qs=$qs: $a != $b") // BIT equality
+        }
+      }
+    }
+  }
+
   test("areaHistogram: matplotlib hist semantics (range tails, inclusive last bin, degenerate)") {
     import spark.implicits._
     // group (0,0): areas 1..100 m² in micro units → q90 interpolates
