@@ -27,10 +27,19 @@ import graft.geom.Overlay
   * concatenates; past `CompactAt` groups the buffer COMPACTS by
   * unioning into a single traced group — geometrically (only once the
   * uncompacted tail carries at least as many bytes as the traced
-  * head), so each ring is re-traced O(log n) times and hot keys shrink
-  * their buffers during partial aggregation instead of shipping every
-  * input ring through the shuffle. finish() unions the remaining
-  * groups and returns traced rings (outer CCW, holes CW).
+  * head), so each ring is re-traced O(log n) times. finish() unions
+  * the remaining groups and returns traced rings (outer CCW, holes
+  * CW).
+  *
+  * Two usage shapes, both correct: `groupBy(key).agg(...)` gets
+  * map-side partial aggregation — DENSE groups (many rings per group
+  * per input partition) compact before the shuffle and ship small
+  * buffers; with SPARSE groups the partials are singletons anyway,
+  * and AQE's size-based coalescing can then squeeze the CPU-heavy
+  * reduce into few partitions — there, `repartition(n, key)` first
+  * (exempt from coalescing) keeps the overlay parallel at the cost of
+  * shuffling raw rings (see geo_union_area, which measured 2.1×
+  * faster that way at its sparse benchmark shape).
   *
   * A traced overlay result is itself a valid even-odd group (holes are
   * CW rings whose parity cancels), which is what makes compaction

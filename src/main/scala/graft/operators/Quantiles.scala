@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * DuckDB's `quantile_cont` under the oracle's integer flooring,
   * which the gate already proved compatible).
   *
-  * 100-TB shape: one shuffle + sort on the group key — scales with
-  * Tungsten spill like any ORDER BY; no aggregation buffer ever holds
-  * a group's values. Nulls are dropped first (the built-in's
-  * semantics).
+  * Scale shape: one shuffle + per-key Tungsten sort — it SPILLS like
+  * any ORDER BY (no aggregation buffer ever holds a group's values),
+  * but parallelism within the sort is bounded by the number of
+  * distinct keys (a window partition is one task). That fits this
+  * engine's percentile consumers (returnflag groups, region × class
+  * report groups — many keys or bounded data); a single-group
+  * percentile over a huge table wants a range-partitioned global sort
+  * instead. NULL values rank last and are excluded from `n`, so an
+  * all-NULL group yields (key, NULL) exactly like the built-in.
   */
 object Quantiles {
 
@@ -40,10 +45,13 @@ object Quantiles {
     require(keys.nonEmpty, "at least one key column")
     val keyCols = keys.map(col)
     val byKey = Window.partitionBy(keyCols: _*)
+    // nulls rank LAST and don't count toward n: they can never be
+    // selected as a bracketing rank, but their groups stay present
+    // (all-null group → ranks select nothing → NULL result, exactly
+    // the built-in percentile's output)
     val base = df.select(keyCols :+ value.cast("double").as("_v"): _*)
-      .where(col("_v").isNotNull)
-      .withColumn("_rn", row_number().over(byKey.orderBy(col("_v"))))
-      .withColumn("_n", count(lit(1)).over(byKey))
+      .withColumn("_rn", row_number().over(byKey.orderBy(col("_v").asc_nulls_last)))
+      .withColumn("_n", count(col("_v")).over(byKey))
     val aggs: Seq[Column] = qs.zipWithIndex.flatMap { case (q, i) =>
       val pos = (col("_n") - 1) * lit(q)
       val lo = floor(pos) + 1 // ranks are 1-based
@@ -57,7 +65,11 @@ object Quantiles {
     }
     base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
       .select(keyCols ++ qs.indices.map { i =>
-        when(col(s"_wh$i") === 0.0, col(s"_lo$i"))
+        // BOTH short-circuits the built-in has: integral pos, and
+        // EQUAL bracketing values — without the latter,
+        // v·wl + v·wh ≠ v by 1 ulp (e.g. 3.0·0.7 + 3.0·0.3 =
+        // 2.9999999999999996) and a downstream floor() flips a digit
+        when(col(s"_wh$i") === 0.0 || col(s"_lo$i") === col(s"_hi$i"), col(s"_lo$i"))
           .otherwise(col(s"_lo$i") * col(s"_wl$i") + col(s"_hi$i") * col(s"_wh$i"))
           .as(s"q$i")
       }: _*)

@@ -291,17 +291,28 @@ class OpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     // groups of sizes 1, 2, 3, 7, 100, 1000 with duplicates and
     // negative values — every interpolation edge
-    val rows = Seq(1, 2, 3, 7, 100, 1000).zipWithIndex.flatMap { case (n, g) =>
-      (0 until n).map(_ => (s"g$g", (rnd.nextInt(500) - 250).toDouble))
-    }
+    val rows: Seq[(String, java.lang.Double)] =
+      Seq(1, 2, 3, 7, 100, 1000).zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(_ => (s"g$g", java.lang.Double.valueOf((rnd.nextInt(500) - 250).toDouble)))
+      } ++
+      // EQUAL bracketing values at fractional pos: without the
+      // equal-value short-circuit, v·wl + v·wh ≠ v by 1 ulp
+      Seq(("dup2", 3.0), ("dup2", 3.0), ("dup3", 7.0), ("dup3", 7.0), ("dup3", 7.0),
+        // nulls: ignored within a group; an all-null group must still
+        // emit (key, null) like the built-in
+        ("mixed", 1.0), ("mixed", null), ("mixed", 2.0),
+        ("allnull", null), ("allnull", null))
+        .map { case (k, v) => (k, v.asInstanceOf[java.lang.Double]) }
     val df = rows.toDF("k", "v")
-    for (qs <- Seq(Seq(0.5), Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))) {
-      val ours = graft.operators.Quantiles.exactPercentiles(df, "k", col("v"), qs)
-        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
-      val builtin = df.groupBy("k")
+    for (qs <- Seq(Seq(0.5), Seq(0.0, 0.1, 0.25, 0.3, 0.5, 0.9, 0.99, 1.0))) {
+      def collect(d: org.apache.spark.sql.DataFrame): Map[String, Seq[Option[Double]]] =
+        d.collect().map(r => r.getString(0) ->
+          qs.indices.map(i => if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))).toMap
+      val ours = collect(graft.operators.Quantiles.exactPercentiles(df, "k", col("v"), qs))
+      val builtin = collect(df.groupBy("k")
         .agg(qs.map(q => expr(s"percentile(v, $q)")).head,
-          qs.map(q => expr(s"percentile(v, $q)")).tail: _*)
-        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+          qs.map(q => expr(s"percentile(v, $q)")).tail: _*))
+      assert(ours.keySet === builtin.keySet, "group sets must match (incl. all-null groups)")
       ours.keySet.foreach { k =>
         ours(k).zip(builtin(k)).foreach { case (a, b) =>
           assert(a === b, s"key $k qs=$qs: $a != $b") // BIT equality

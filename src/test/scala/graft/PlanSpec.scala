@@ -187,15 +187,30 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllMatchIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
-  test("geo_union_area plan: st_union_agg partial-aggregates map-side (one shuffle on the group key)") {
+  test("geo_union_area plan: ONE user exchange on the group key, aggregate co-partitioned after it") {
     val df = SparkEntry.queries("geo_union_area")(spark, "/root/testdata/sf0.001")
     val plan = planOf(df)
-    // a true Aggregator shows two ObjectHashAggregate phases around
-    // one exchange — the map-side-combine shape that lets hot groups
-    // compact their ring buffers BEFORE the shuffle
+    // the query repartitions on g BEFORE aggregating (sparse groups:
+    // map-side combine has nothing to combine, and AQE's size-based
+    // coalescing would serialize the CPU-heavy reduce) — so the plan
+    // must show exactly ONE user-specified exchange, with both
+    // aggregate phases running co-partitioned after it and NO second
+    // ENSURE_REQUIREMENTS exchange between them
     assert("ObjectHashAggregate".r.findAllMatchIn(plan).size >= 2,
-      s"union aggregate not partial:\n$plan")
+      s"union aggregate not planned as partial+final:\n$plan")
     val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
     assert(shuffles === 1, s"expected exactly one shuffle:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL") || plan.contains("REPARTITION_BY_NUM"),
+      s"group-key repartition missing (AQE would coalesce the reduce):\n$plan")
+    // the dense-group map-side-combine shape (groupBy direct) is
+    // asserted separately on a raw groupBy over the same aggregate
+    val dense = spark.range(0, 1000).selectExpr("id % 3 AS g",
+        "array(0D, 0D, 4D, 0D, 4D, 4D, 0D, 4D) AS poly")
+      .groupBy(col("g")).agg(graft.functions.UnionAggApi.st_union_agg(col("poly")).as("u"))
+    val densePlan = planOf(dense)
+    val aggIdx = densePlan.indexOf("partial_unionagg")
+    val exIdx = densePlan.indexOf("Exchange hashpartitioning")
+    assert(aggIdx > exIdx && exIdx >= 0, // partial BELOW the exchange in plan text = runs before it
+      s"groupBy-direct shape lost its map-side combine:\n$densePlan")
   }
 }
