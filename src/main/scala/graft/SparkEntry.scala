@@ -195,6 +195,35 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
     }),
+
+    // --- STREAMING exact dedup under the oracle gate (ST2): the
+    // documents table replayed as a 3-micro-batch MemoryStream through
+    // flatMapGroupsWithState (first-seen-wins keyed state). Batches
+    // are doc_id-ordered slices, so first-seen == min(doc_id) per
+    // hash — which DuckDB recomputes as a plain GROUP BY, making the
+    // streaming state machine itself oracle-checked.
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val sink = s"stream_dedup_sink_${System.nanoTime}" // unique per invocation
+      val q = streaming.StreamingIngest.streamingDedup(mem.toDF.toDF("doc_id", "text"))
+        .toDF("h", "keeper")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // materialize: the memory sink is session state, the returned
+      // frame must stand alone
+      val rows = s.table(sink).as[(String, Long)].collect().toSeq
+      s.createDataset(rows).toDF("h", "keeper")
+    }),
     "text_stats" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), col("n_chars"),
@@ -615,6 +644,8 @@ object SparkEntry {
          |WHERE rnk <= 5""".stripMargin,
     "dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper FROM documents GROUP BY 1",
+    "stream_dedup" ->
+      "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper FROM documents GROUP BY 1",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
