@@ -148,36 +148,57 @@ object IcebergLite {
     // normalize the monitor key: two spellings of one directory
     // ("/t/x" vs "/t/x/") must share the JVM monitor, or the second
     // thread's FileChannel.lock throws OverlappingFileLockException
-    val monitor = rootMonitors.computeIfAbsent(
-      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
     var winner = -1L
     while (winner < 0) {
-      monitor.synchronized {
-        Files.createDirectories(Paths.get(root))
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get(root, ".manifest.lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lk = ch.lock()
-          try {
-            val cur = snapshots(root)
-            val dup = if (snap.key >= 0)
-              cur.find(s => s.stage == snap.stage && s.key == snap.key && s.id != snap.id)
-            else None
-            dup match {
-              case Some(d) => winner = d.id
-              case None =>
-                writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
-                  tmpSuffix = s"-${snap.id}")
-                pruneReservations(root, snap.id)
-            }
-          } finally lk.release()
-        } finally ch.close()
+      withManifestLock(root) {
+        val cur = snapshots(root)
+        val dup = if (snap.key >= 0)
+          cur.find(s => s.stage == snap.stage && s.key == snap.key && s.id != snap.id)
+        else None
+        dup match {
+          case Some(d) => winner = d.id
+          case None =>
+            writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
+              tmpSuffix = s"-${snap.id}")
+            pruneReservations(root, snap.id)
+        }
       }
       if (winner < 0 && snapshots(root).exists(_.id == snap.id)) winner = snap.id
     }
     winner
+  }
+
+  /** The manifest critical section: per-root JVM monitor (threads)
+    * nested inside the exclusive `.manifest.lock` file lock
+    * (processes). */
+  private def withManifestLock[A](root: String)(body: => A): A = {
+    val monitor = rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, ".manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Arbitrary locked manifest transform (e.g. compaction's
+    * add-one-remove-many swap); retries until `verifyId` is visible. */
+  private def updateManifest(root: String, verifyId: Long,
+                             transform: Seq[Snapshot] => Seq[Snapshot]): Unit = {
+    var done = false
+    while (!done) {
+      withManifestLock(root) {
+        writeManifest(root, transform(snapshots(root)), tmpSuffix = s"-$verifyId")
+        pruneReservations(root, verifyId)
+      }
+      done = snapshots(root).exists(_.id == verifyId)
+    }
   }
 
   /** Drop `.ids/` markers at or below the just-committed id except the
@@ -218,6 +239,16 @@ object IcebergLite {
       prev.find(s => s.stage == stage && s.key == idempotencyKey)
         .foreach(s => return s.id)
     val snapId = reserveId(root)
+    val snap = writeSnapshotFiles(spark, root, stage, snapId, df, unitKeyCol,
+      t0, idempotencyKey)
+    commitManifest(root, snap)
+  }
+
+  /** Data + lineage parquet for one snapshot id (everything but the
+    * manifest entry — shared by [[commit]] and [[compact]]). */
+  private def writeSnapshotFiles(spark: SparkSession, root: String, stage: String,
+                                 snapId: Long, df: DataFrame, unitKeyCol: String,
+                                 t0: Long, idempotencyKey: Long): Snapshot = {
     val dataDir = s"$root/data/$stage/snap-$snapId"
     df.write.mode("overwrite").parquet(dataDir)
 
@@ -241,8 +272,56 @@ object IcebergLite {
     val rowCount = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     val kMin = if (statsRow.isNullAt(1)) Long.MinValue else statsRow.getLong(1)
     val kMax = if (statsRow.isNullAt(2)) Long.MaxValue else statsRow.getLong(2)
-    commitManifest(root, Snapshot(snapId, stage,
-      rowCount, (System.nanoTime() - t0) / 1000000, idempotencyKey, kMin, kMax))
+    Snapshot(snapId, stage, rowCount, (System.nanoTime() - t0) / 1000000,
+      idempotencyKey, kMin, kMax)
+  }
+
+  /** Compact a stage's snapshots into ONE — the Iceberg
+    * `rewrite_data_files` + `expire_snapshots` analogue: resume-heavy
+    * tables accumulate a snapshot per work unit and every read unions
+    * all their files. The union of the snapshot set captured at entry
+    * is rewritten as a new snapshot, then a single LOCKED manifest
+    * update atomically swaps the old entries for the new one — a
+    * reader sees either the old set or the compacted snapshot, NEVER
+    * both (the new entry and the removals land in one rename).
+    * Snapshots committed concurrently during the rewrite survive: only
+    * the captured ids are replaced. Time travel below the compaction
+    * id collapses onto it (history is expired, like Iceberg). Old data
+    * dirs are deleted best-effort AFTER the swap (already invisible).
+    * Returns the new snapshot id, or -1 if there is nothing to compact
+    * (0 or 1 snapshots). `targetFiles` bounds the rewritten snapshot's
+    * file count (coalesce — narrow, no shuffle): small-file cleanup is
+    * the point of compacting; size it to rows/128MB at scale. */
+  def compact(spark: SparkSession, root: String, stage: String,
+              unitKeyCol: String, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val t0 = System.nanoTime()
+    val oldIds = snapshots(root).filter(_.stage == stage).map(_.id)
+    if (oldIds.size < 2) return -1L
+    val union = oldIds.map(id => spark.read.parquet(s"$root/data/$stage/snap-$id"))
+      .reduce(_ unionByName _).coalesce(targetFiles)
+    val snapId = reserveId(root)
+    val snap = writeSnapshotFiles(spark, root, stage, snapId, union, unitKeyCol,
+      t0, idempotencyKey = -1L)
+    updateManifest(root, snapId, cur =>
+      (cur.filterNot(s => oldIds.contains(s.id)).filterNot(_.id == snapId) :+ snap)
+        .sortBy(_.id))
+    // expired data/lineage dirs (invisible since the swap) — best-effort
+    oldIds.foreach { id =>
+      Seq("data", "lineage").foreach { kind =>
+        scala.util.Try {
+          val dir = Paths.get(s"$root/$kind/$stage/snap-$id")
+          if (Files.isDirectory(dir)) {
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        }
+      }
+    }
+    snapId
   }
 
   /** All live data of a stage (union of its committed snapshots). */

@@ -210,6 +210,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(partial).size === snapsBefore)
   }
 
+  test("IcebergLite compact: snapshots collapse to one, data identical, other stages untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("iceberg_compact").toString
+    (0 until 3).foreach { i =>
+      IcebergLite.commit(spark, root, "work",
+        Seq((i.toLong * 10, s"v$i"), (i.toLong * 10 + 1, s"w$i")).toDF("k", "v"), "k")
+    }
+    IcebergLite.commit(spark, root, "other", Seq((99L, "x")).toDF("k", "v"), "k")
+    val before = IcebergLite.read(spark, root, "work").get
+      .as[(Long, String)].collect().sortBy(_._1)
+    val oldIds = IcebergLite.snapshots(root).filter(_.stage == "work").map(_.id)
+    val newId = IcebergLite.compact(spark, root, "work", "k")
+    assert(newId > 0)
+    val snaps = IcebergLite.snapshots(root)
+    assert(snaps.count(_.stage == "work") === 1)
+    assert(snaps.find(_.stage == "work").get.id === newId)
+    assert(snaps.count(_.stage == "other") === 1) // untouched
+    // data identical; manifest stats (rowCount, key range) recomputed
+    val after = IcebergLite.read(spark, root, "work").get
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq === before.toSeq)
+    val ws = snaps.find(_.stage == "work").get
+    assert(ws.rowCount === 6 && ws.keyMin === 0 && ws.keyMax === 21)
+    // expired data dirs deleted
+    oldIds.foreach { id =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/data/work/snap-$id")), s"snap-$id not expired")
+    }
+    // appends after compaction coexist with the compacted snapshot
+    IcebergLite.commit(spark, root, "work", Seq((100L, "z")).toDF("k", "v"), "k")
+    assert(IcebergLite.read(spark, root, "work").get.count() === 7)
+    // nothing to compact → -1, state unchanged
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg_compact1").toString
+    IcebergLite.commit(spark, root2, "solo", Seq((1L, "a")).toDF("k", "v"), "k")
+    assert(IcebergLite.compact(spark, root2, "solo", "k") === -1L)
+    assert(IcebergLite.snapshots(root2).size === 1)
+  }
+
   test("IcebergLite: two concurrent committers — both snapshots visible, distinct ids") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
