@@ -214,14 +214,17 @@ object SparkEntry {
         .toDF("h", "keeper")
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       try {
-        docs.grouped(math.max(1, docs.length / 3)).foreach { chunk =>
+        // ceiling division: floor would spill a 4th one-row batch
+        // whenever the count isn't divisible by 3
+        docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { chunk =>
           mem.addData(chunk.toIndexedSeq: _*)
           q.processAllAvailable()
         }
       } finally q.stop()
-      // materialize: the memory sink is session state, the returned
-      // frame must stand alone
+      // materialize, then DROP the memory sink — it retains every
+      // output row in driver memory for the session's lifetime
       val rows = s.table(sink).as[(String, Long)].collect().toSeq
+      s.catalog.dropTempView(sink)
       s.createDataset(rows).toDF("h", "keeper")
     }),
     "text_stats" -> ((s, dir) => {

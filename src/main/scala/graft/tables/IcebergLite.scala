@@ -145,9 +145,6 @@ object IcebergLite {
     * to IN-FLIGHT writers instead of growing one file per commit ever
     * made. */
   private def commitManifest(root: String, snap: Snapshot): Long = {
-    // normalize the monitor key: two spellings of one directory
-    // ("/t/x" vs "/t/x/") must share the JVM monitor, or the second
-    // thread's FileChannel.lock throws OverlappingFileLockException
     var winner = -1L
     while (winner < 0) {
       withManifestLock(root) {
@@ -170,7 +167,10 @@ object IcebergLite {
 
   /** The manifest critical section: per-root JVM monitor (threads)
     * nested inside the exclusive `.manifest.lock` file lock
-    * (processes). */
+    * (processes). The monitor key is the NORMALIZED absolute path —
+    * two spellings of one directory ("/t/x" vs "/t/x/") must share the
+    * JVM monitor, or the second thread's FileChannel.lock throws
+    * OverlappingFileLockException (file locks are held per-JVM). */
   private def withManifestLock[A](root: String)(body: => A): A = {
     val monitor = rootMonitors.computeIfAbsent(
       Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
@@ -187,18 +187,27 @@ object IcebergLite {
     }
   }
 
-  /** Arbitrary locked manifest transform (e.g. compaction's
-    * add-one-remove-many swap); retries until `verifyId` is visible. */
+  /** Validated locked manifest transform (compaction's
+    * add-one-remove-many swap): `transform` returns None to ABORT
+    * (preconditions no longer hold — e.g. a concurrent compact already
+    * removed the captured snapshots); retries until `verifyId` is
+    * visible or an abort happens. Returns whether the swap landed. */
   private def updateManifest(root: String, verifyId: Long,
-                             transform: Seq[Snapshot] => Seq[Snapshot]): Unit = {
-    var done = false
-    while (!done) {
-      withManifestLock(root) {
-        writeManifest(root, transform(snapshots(root)), tmpSuffix = s"-$verifyId")
-        pruneReservations(root, verifyId)
+                             transform: Seq[Snapshot] => Option[Seq[Snapshot]]): Boolean = {
+    while (true) {
+      val applied = withManifestLock(root) {
+        transform(snapshots(root)) match {
+          case Some(next) =>
+            writeManifest(root, next, tmpSuffix = s"-$verifyId")
+            pruneReservations(root, verifyId)
+            true
+          case None => false
+        }
       }
-      done = snapshots(root).exists(_.id == verifyId)
+      if (!applied) return false
+      if (snapshots(root).exists(_.id == verifyId)) return true
     }
+    false // unreachable
   }
 
   /** Drop `.ids/` markers at or below the just-committed id except the
@@ -276,7 +285,7 @@ object IcebergLite {
       idempotencyKey, kMin, kMax)
   }
 
-  /** Compact a stage's snapshots into ONE — the Iceberg
+  /** Compact a stage's UNKEYED snapshots into ONE — the Iceberg
     * `rewrite_data_files` + `expire_snapshots` analogue: resume-heavy
     * tables accumulate a snapshot per work unit and every read unions
     * all their files. The union of the snapshot set captured at entry
@@ -284,30 +293,60 @@ object IcebergLite {
     * update atomically swaps the old entries for the new one — a
     * reader sees either the old set or the compacted snapshot, NEVER
     * both (the new entry and the removals land in one rename).
-    * Snapshots committed concurrently during the rewrite survive: only
-    * the captured ids are replaced. Time travel below the compaction
-    * id collapses onto it (history is expired, like Iceberg). Old data
-    * dirs are deleted best-effort AFTER the swap (already invisible).
+    *
+    * Safety contracts:
+    *  - Snapshots with an idempotency key are NOT compacted: the
+    *    (stage, key) manifest record IS the streaming exactly-once
+    *    replay guard — folding it away would let a crashed micro-batch
+    *    re-commit its rows. Only `key == -1` snapshots participate.
+    *  - Two concurrent compacts cannot double the data: the swap
+    *    VALIDATES under the lock that every captured id is still
+    *    present and ABORTS otherwise (the loser's rewritten files are
+    *    removed, -1 returned).
+    *  - Snapshots committed concurrently during the rewrite survive:
+    *    only the captured ids are replaced.
+    *  - Time travel at ids below the compaction is EXPIRED — readAsOf
+    *    there returns None/partial history, exactly like Iceberg after
+    *    expire_snapshots.
+    *  - Old data/lineage dirs are deleted only when `expireData = true`
+    *    (default false): a LAZY DataFrame handle planned before the
+    *    compaction still references the old paths, and deleting them
+    *    breaks it mid-scan. Opt in when no readers hold pre-compaction
+    *    plans; orphaned dirs are invisible to all new reads either way.
+    *
     * Returns the new snapshot id, or -1 if there is nothing to compact
-    * (0 or 1 snapshots). `targetFiles` bounds the rewritten snapshot's
-    * file count (coalesce — narrow, no shuffle): small-file cleanup is
-    * the point of compacting; size it to rows/128MB at scale. */
+    * (0 or 1 unkeyed snapshots) or a concurrent compact won.
+    * `targetFiles` bounds the rewritten snapshot's file count
+    * (coalesce — narrow, no shuffle): small-file cleanup is the point;
+    * size it to rows/128MB at scale. */
   def compact(spark: SparkSession, root: String, stage: String,
-              unitKeyCol: String, targetFiles: Int = 1): Long = {
+              unitKeyCol: String, targetFiles: Int = 1,
+              expireData: Boolean = false): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val t0 = System.nanoTime()
-    val oldIds = snapshots(root).filter(_.stage == stage).map(_.id)
+    val oldIds = snapshots(root).filter(s => s.stage == stage && s.key < 0).map(_.id)
     if (oldIds.size < 2) return -1L
     val union = oldIds.map(id => spark.read.parquet(s"$root/data/$stage/snap-$id"))
       .reduce(_ unionByName _).coalesce(targetFiles)
     val snapId = reserveId(root)
     val snap = writeSnapshotFiles(spark, root, stage, snapId, union, unitKeyCol,
       t0, idempotencyKey = -1L)
-    updateManifest(root, snapId, cur =>
-      (cur.filterNot(s => oldIds.contains(s.id)).filterNot(_.id == snapId) :+ snap)
-        .sortBy(_.id))
-    // expired data/lineage dirs (invisible since the swap) — best-effort
-    oldIds.foreach { id =>
+    val swapped = updateManifest(root, snapId, cur =>
+      if (oldIds.forall(id => cur.exists(_.id == id)))
+        Some((cur.filterNot(s => oldIds.contains(s.id)).filterNot(_.id == snapId) :+ snap)
+          .sortBy(_.id))
+      else None) // a concurrent compact already replaced them — abort
+    if (!swapped) {
+      deleteSnapshotDirs(root, stage, Seq(snapId)) // our orphaned rewrite
+      return -1L
+    }
+    if (expireData) deleteSnapshotDirs(root, stage, oldIds)
+    snapId
+  }
+
+  /** Recursive best-effort delete of snapshot data+lineage dirs. */
+  private def deleteSnapshotDirs(root: String, stage: String, ids: Seq[Long]): Unit =
+    ids.foreach { id =>
       Seq("data", "lineage").foreach { kind =>
         scala.util.Try {
           val dir = Paths.get(s"$root/$kind/$stage/snap-$id")
@@ -321,8 +360,6 @@ object IcebergLite {
         }
       }
     }
-    snapId
-  }
 
   /** All live data of a stage (union of its committed snapshots). */
   def read(spark: SparkSession, root: String, stage: String): Option[DataFrame] =
@@ -330,7 +367,9 @@ object IcebergLite {
 
   /** Time travel: the stage's data as of snapshot `asOfId` (inclusive) —
     * the append model makes any historical state reconstructible as the
-    * union of snapshots up to that id. */
+    * union of snapshots up to that id. History below a [[compact]]ion
+    * is EXPIRED: those snapshot entries are gone, so an asOfId under
+    * the compaction id sees only whatever keyed snapshots survived. */
   def readAsOf(spark: SparkSession, root: String, stage: String,
                asOfId: Long): Option[DataFrame] = {
     val snaps = snapshots(root).filter(s => s.stage == stage && s.id <= asOfId)

@@ -221,26 +221,36 @@ class PipelineSpec extends AnyFunSuite {
     val before = IcebergLite.read(spark, root, "work").get
       .as[(Long, String)].collect().sortBy(_._1)
     val oldIds = IcebergLite.snapshots(root).filter(_.stage == "work").map(_.id)
-    val newId = IcebergLite.compact(spark, root, "work", "k")
+    // a KEYED snapshot must survive compaction (its (stage, key)
+    // record is the streaming exactly-once replay guard)
+    IcebergLite.commit(spark, root, "work", Seq((50L, "keyed")).toDF("k", "v"), "k",
+      idempotencyKey = 7L)
+    val newId = IcebergLite.compact(spark, root, "work", "k", expireData = true)
     assert(newId > 0)
     val snaps = IcebergLite.snapshots(root)
-    assert(snaps.count(_.stage == "work") === 1)
-    assert(snaps.find(_.stage == "work").get.id === newId)
+    assert(snaps.count(_.stage == "work") === 2) // compacted + keyed survivor
+    assert(snaps.exists(s => s.stage == "work" && s.id === newId))
+    assert(snaps.exists(s => s.stage == "work" && s.key === 7L), "keyed snapshot folded away")
     assert(snaps.count(_.stage == "other") === 1) // untouched
-    // data identical; manifest stats (rowCount, key range) recomputed
+    // replaying the keyed batch is STILL a no-op after compaction
+    val replay = IcebergLite.commit(spark, root, "work",
+      Seq((50L, "keyed")).toDF("k", "v"), "k", idempotencyKey = 7L)
+    assert(replay === snaps.find(s => s.stage == "work" && s.key === 7L).get.id)
+    // data identical (compacted unkeyed rows + the keyed survivor);
+    // manifest stats (rowCount, key range) recomputed on the rewrite
     val after = IcebergLite.read(spark, root, "work").get
       .as[(Long, String)].collect().sortBy(_._1)
-    assert(after.toSeq === before.toSeq)
-    val ws = snaps.find(_.stage == "work").get
+    assert(after.toSeq === (before :+ (50L, "keyed")).sortBy(_._1).toSeq)
+    val ws = snaps.find(s => s.stage == "work" && s.id == newId).get
     assert(ws.rowCount === 6 && ws.keyMin === 0 && ws.keyMax === 21)
-    // expired data dirs deleted
+    // expired data dirs deleted (expireData = true)
     oldIds.foreach { id =>
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$root/data/work/snap-$id")), s"snap-$id not expired")
     }
     // appends after compaction coexist with the compacted snapshot
     IcebergLite.commit(spark, root, "work", Seq((100L, "z")).toDF("k", "v"), "k")
-    assert(IcebergLite.read(spark, root, "work").get.count() === 7)
+    assert(IcebergLite.read(spark, root, "work").get.count() === 8)
     // nothing to compact → -1, state unchanged
     val root2 = java.nio.file.Files.createTempDirectory("iceberg_compact1").toString
     IcebergLite.commit(spark, root2, "solo", Seq((1L, "a")).toDF("k", "v"), "k")
