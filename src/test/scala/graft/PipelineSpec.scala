@@ -258,6 +258,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(root2).size === 1)
   }
 
+  test("IcebergLite: concurrent compacts — exactly one wins, rows never doubled") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("iceberg_cc").toString
+    (0 until 4).foreach { i =>
+      IcebergLite.commit(spark, root, "s",
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), "k")
+    }
+    val fs = (0 until 2).map(_ => Future(IcebergLite.compact(spark, root, "s", "k")))
+    val ids = fs.map(Await.result(_, 180.seconds))
+    // whichever interleaving happened, the validated swap admits at
+    // most one rewrite: the loser aborts (-1) instead of landing a
+    // second full-union snapshot that would double every row
+    assert(ids.count(_ > 0) === 1, s"ids=$ids")
+    assert(IcebergLite.read(spark, root, "s").get.count() === 4, "rows doubled or lost")
+    assert(IcebergLite.snapshots(root).count(_.stage == "s") === 1)
+  }
+
   test("IcebergLite: two concurrent committers — both snapshots visible, distinct ids") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
