@@ -473,11 +473,19 @@ object SparkEntry {
     "shp_attrs_rt" -> ((s, dir) => {
       val spec = GeoOps.TileGrid.Default
       val crowns = CrownOps.synthesize(s, GeoOps.assignTiles(PagesGen.pagesFor(s, dir)), spec)
+      // Top-k is selected on the CLUSTER (TakeOrderedAndProject — no full
+      // driver collect); only the 500 exported records reach the driver,
+      // where the single-file .shp write legitimately happens. The local
+      // re-sort of 500 rows pins the exact record order regardless of
+      // executor tie-breaking.
       val merged = CrownOps.nmsMerge(s, crowns, nmsIou = 0.7, confThr = 0.3,
           mergeIou = 0.5, emitGeom = true)
+        .orderBy(desc("score"), asc("region"), asc("classIdx"),
+          asc("minX"), asc("minY"))
+        .limit(500)
         .collect()
         .sortBy(m => (-m.score, m.region, m.classIdx, m.minX, m.minY))
-        .take(500).toSeq
+        .toSeq
       val out = java.nio.file.Files.createTempDirectory("shp_q").toString
       graft.tables.ShapefileIO.writeMergedCrowns(s"$out/merged.shp", merged)
       graft.tables.ShapefileIO.readTable(s, out)

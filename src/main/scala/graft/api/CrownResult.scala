@@ -183,8 +183,16 @@ final case class CrownResult(
     }.mkString("[", ",", "]")
     java.nio.file.Files.write(dir.resolve("area_histogram.json"),
       histJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    renderHistogramJpg(dir.resolve("area_histogram.jpg").toString,
-      hist.map { case (_, _, b, n) => (b.toInt, n) })
+    // The IMAGE is ONE histogram over one GLOBAL [0.5, q90] range —
+    // report.py:122-129 draws a single plt.hist over all tree areas.
+    // (Summing the per-(region, class) operator bins by index would mix
+    // incomparable bin widths: each group has its own q90.) Collapsing
+    // the group keys to a constant reuses the operator with one group.
+    val globalHist = CrownOps.areaHistogram(
+        areas.select(lit(0L).as("region"), lit(0L).as("class_idx"), col("area_micro")))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(2).toInt, r.getLong(3)))
+    renderHistogramJpg(dir.resolve("area_histogram.jpg").toString, globalHist)
 
     graft.tables.GeoTiffIO.writeTable(mosaic, s"$outDir/masks", deflate = true)
 

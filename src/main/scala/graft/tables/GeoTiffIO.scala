@@ -17,7 +17,10 @@ import graft.operators.RasterOps.ConfTile
   *
   *   - classic little-endian TIFF ("II", magic 42), single IFD
   *   - tiled layout (tags 322/323/324/325), tile dims multiple of 16,
-  *     edge tiles zero-padded (zero = the declared nodata)
+  *     edge tiles zero-padded (zero = the declared nodata); the READER
+  *     additionally accepts STRIP layout (tags 273/278/279) —
+  *     rasterio/GDAL's default for small rasters, e.g. the reference's
+  *     result/processedresult.py:121-171 masks
   *   - uint8 single band (258=8, 277=1, 339=1), BlackIsZero (262=1)
   *   - Compression 1 (none) or 8 (Adobe deflate/zlib)
   *   - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag
@@ -49,6 +52,9 @@ object GeoTiffIO {
   private val TagPhotometric = 262
   private val TagDescription = 270
   private val TagSamples = 277
+  private val TagStripOffsets = 273
+  private val TagRowsPerStrip = 278
+  private val TagStripCounts = 279
   private val TagTileWidth = 322
   private val TagTileLength = 323
   private val TagTileOffsets = 324
@@ -73,6 +79,17 @@ object GeoTiffIO {
     require(tiffTile > 0 && tiffTile % 16 == 0, s"TIFF tile size $tiffTile not a multiple of 16")
     val tilesAcross = (t.cols + tiffTile - 1) / tiffTile
     val tilesDown = (t.rows + tiffTile - 1) / tiffTile
+    // BigTIFF guard, checked BEFORE assembling ~payload-sized buffers:
+    // classic TIFF carries 32-bit offsets (4 GiB), and this writer
+    // indexes one ByteBuffer (2 GiB) — a raster whose zero-padded tile
+    // payload alone busts that must fail loud up front, not truncate
+    // offsets into a corrupt file. Split such rasters into more
+    // ConfTiles (BigTIFF is deliberately not implemented).
+    val paddedBytes = tilesAcross.toLong * tilesDown * tiffTile * tiffTile
+    require(paddedBytes < Int.MaxValue - (1 << 16),
+      s"raster ${t.rows}x${t.cols} pads to $paddedBytes tile bytes — over the " +
+        "classic-TIFF/single-buffer 2 GiB limit; split into smaller tiles " +
+        "(no BigTIFF support)")
     // assemble per-tile payloads (row-flipped to north-up, zero-padded)
     val tiles = for {
       ty <- 0 until tilesDown
@@ -93,7 +110,12 @@ object GeoTiffIO {
       if (deflate) {
         val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
         d.setInput(raw); d.finish()
-        val buf = new Array[Byte](raw.length + 64)
+        // Proper deflate bound: zlib worst case (stored blocks) is
+        // ~6 + 5*ceil(len/65535) bytes of overhead — a fixed +64 slack
+        // underflows once tiles reach 1 MiB of incompressible data,
+        // and deflate() then returns 0 forever (infinite loop).
+        val bound = raw.length + raw.length / 1000 + 12 + 5 * ((raw.length + 65534) / 65535)
+        val buf = new Array[Byte](bound)
         var len = 0
         while (!d.finished()) len += d.deflate(buf, len, buf.length - len)
         d.end()
@@ -174,6 +196,15 @@ object GeoTiffIO {
     }
     val ifdOff = extOff
     val total = ifdOff + 2 + 12 * entries.size + 4
+    // Classic TIFF carries 32-bit offsets (the 4 GiB contract, TIFF 6.0
+    // §2); this writer additionally indexes through a single ByteBuffer,
+    // so fail LOUD at 2 GiB rather than silently truncating offsets into
+    // a corrupt file. Per-tile mosaic artifacts never get near this;
+    // a larger raster should be split into more ConfTiles (BigTIFF is
+    // deliberately not implemented).
+    require(total < Int.MaxValue,
+      s"TIFF payload $total bytes exceeds the classic-TIFF/single-buffer " +
+        "2 GiB limit — split the raster into smaller tiles (no BigTIFF support)")
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
     tiles.zip(tileOffsets).foreach { case (p, o) => buf.position(o.toInt); buf.put(p) }
@@ -242,20 +273,17 @@ object GeoTiffIO {
     require(one(TagBits, 8) == 8 && one(TagSamples, 1) == 1, "only single-band uint8 supported")
     val compression = one(TagCompression, 1).toInt
     require(compression == 1 || compression == 8, s"unsupported compression $compression")
-    val tw = one(TagTileWidth).toInt
-    val th = one(TagTileLength).toInt
-    require(tw > 0 && th > 0, "only tiled TIFFs supported (no strips)")
-    val offsets = values(TagTileOffsets)
-    val counts = values(TagTileCounts)
-    val tilesAcross = (width + tw - 1) / tw
-    val data = new Array[Byte](width * height) // y-down while assembling
-    offsets.indices.foreach { i =>
-      val raw = if (compression == 1) {
-        java.util.Arrays.copyOfRange(bytes, offsets(i).toInt, (offsets(i) + counts(i)).toInt)
+    // decode one tile/strip payload to exactly `expectedLen` bytes,
+    // with the same fail-loud corruption guards in both layouts
+    def chunk(i: Long, off: Long, cnt: Long, expectedLen: Int, what: String): Array[Byte] =
+      if (compression == 1) {
+        require(cnt == expectedLen,
+          s"corrupt $what $i: $cnt bytes on disk, expected $expectedLen")
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
       } else {
         val inf = new Inflater()
-        inf.setInput(bytes, offsets(i).toInt, counts(i).toInt)
-        val out = new Array[Byte](tw * th)
+        inf.setInput(bytes, off.toInt, cnt.toInt)
+        val out = new Array[Byte](expectedLen)
         var len = 0
         var stalled = false
         try {
@@ -266,7 +294,7 @@ object GeoTiffIO {
           }
           // force trailer validation: zlib's adler32 is only checked
           // when the END of the stream is consumed — without this,
-          // corruption that still inflates to exactly tw*th bytes
+          // corruption that still inflates to exactly expectedLen bytes
           // (e.g. a flipped byte in a stored block) would pass
           if (!stalled && len == out.length && !inf.finished()) {
             inf.inflate(new Array[Byte](1))
@@ -274,26 +302,58 @@ object GeoTiffIO {
           }
         } catch {
           case e: java.util.zip.DataFormatException =>
-            throw new IllegalArgumentException(s"corrupt deflate tile $i: ${e.getMessage}")
+            throw new IllegalArgumentException(s"corrupt deflate $what $i: ${e.getMessage}")
         } finally inf.end()
         // a truncated/corrupt stream must FAIL LOUD like every other
         // malformed input here — silently returning a partially-zero
         // tile would fabricate pixel data indistinguishable from nodata
         require(!stalled && len == out.length,
-          s"corrupt deflate tile $i: inflated $len of ${out.length} bytes")
+          s"corrupt deflate $what $i: inflated $len of ${out.length} bytes")
         out
       }
-      val ty = i / tilesAcross
-      val tx = i % tilesAcross
-      var r = 0
-      while (r < th) {
-        val imgRow = ty * th + r
-        if (imgRow < height) {
-          val c0 = tx * tw
-          val m = math.min(tw, width - c0)
-          if (m > 0) System.arraycopy(raw, r * tw, data, imgRow * width + c0, m)
+
+    val tw = one(TagTileWidth).toInt
+    val th = one(TagTileLength).toInt
+    val data = new Array[Byte](width * height) // y-down while assembling
+    if (tw > 0 && th > 0) {
+      // tiled layout (tags 322-325) — what this sink writes
+      val offsets = values(TagTileOffsets)
+      val counts = values(TagTileCounts)
+      val tilesAcross = (width + tw - 1) / tw
+      offsets.indices.foreach { i =>
+        val raw = chunk(i.toLong, offsets(i), counts(i), tw * th, "tile")
+        val ty = i / tilesAcross
+        val tx = i % tilesAcross
+        var r = 0
+        while (r < th) {
+          val imgRow = ty * th + r
+          if (imgRow < height) {
+            val c0 = tx * tw
+            val m = math.min(tw, width - c0)
+            if (m > 0) System.arraycopy(raw, r * tw, data, imgRow * width + c0, m)
+          }
+          r += 1
         }
-        r += 1
+      }
+    } else {
+      // STRIP layout (tags 273/278/279) — rasterio/GDAL's default for
+      // small rasters, e.g. the reference's processedresult.py masks.
+      // RowsPerStrip defaults to "all rows in one strip" (TIFF 6.0:
+      // default is 2^32-1, i.e. effectively infinity).
+      val offsets = values(TagStripOffsets)
+      val counts = values(TagStripCounts)
+      require(offsets.nonEmpty, "TIFF has neither tile nor strip layout")
+      require(counts.length == offsets.length,
+        s"StripByteCounts has ${counts.length} entries for ${offsets.length} strips")
+      val rps = math.min(one(TagRowsPerStrip, 0xFFFFFFFFL), height.toLong).toInt
+      require(rps > 0, s"bad RowsPerStrip $rps")
+      val nStrips = (height + rps - 1) / rps
+      require(offsets.length == nStrips,
+        s"${offsets.length} strips for $height rows at $rps rows/strip (want $nStrips)")
+      offsets.indices.foreach { i =>
+        val rowsIn = math.min(rps, height - i * rps)
+        val raw = chunk(i.toLong, offsets(i), counts(i), rowsIn * width, "strip")
+        System.arraycopy(raw, 0, data, i * rps * width, rowsIn * width)
       }
     }
     // flip back to the engine's y-up rows

@@ -129,9 +129,9 @@ object IcebergLite {
     * read-merge-rename is a true critical section: a JVM-level monitor
     * (threads) nested inside an exclusive `.manifest.lock` file lock
     * (processes — POSIX/NFSv4/HDFS all honor it; an object-store
-    * deployment would swap in a catalog CAS). A verify-retry loop
-    * around it self-heals if a non-conforming writer still clobbers
-    * the manifest.
+    * deployment would swap in a catalog CAS). The write under the lock
+    * is authoritative; a post-lock re-read only WARNS about writers
+    * that bypass the lock (it must not retry — see body).
     *
     * The idempotency-key duplicate check is REPEATED here under the
     * lock: two racing commits with the same (stage, key) both pass the
@@ -145,22 +145,38 @@ object IcebergLite {
     * to IN-FLIGHT writers instead of growing one file per commit ever
     * made. */
   private def commitManifest(root: String, snap: Snapshot): Long = {
-    var winner = -1L
-    while (winner < 0) {
-      withManifestLock(root) {
-        val cur = snapshots(root)
-        val dup = if (snap.key >= 0)
-          cur.find(s => s.stage == snap.stage && s.key == snap.key && s.id != snap.id)
-        else None
-        dup match {
-          case Some(d) => winner = d.id
-          case None =>
-            writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
-              tmpSuffix = s"-${snap.id}")
-            pruneReservations(root, snap.id)
-        }
+    // The write under the exclusive lock is AUTHORITATIVE: the winner is
+    // decided inside the critical section. A post-lock re-read must NOT
+    // gate success — a concurrent compact may legitimately capture and
+    // remove the just-committed snapshot between lock release and the
+    // re-read, and a retry would re-insert it (doubling its rows in the
+    // compacted union, and pointing at expired data dirs). The re-read
+    // below is a clobber DIAGNOSTIC only, for non-conforming writers
+    // that bypass the lock.
+    val winner = withManifestLock(root) {
+      val cur = snapshots(root)
+      val dup = if (snap.key >= 0)
+        cur.find(s => s.stage == snap.stage && s.key == snap.key && s.id != snap.id)
+      else None
+      dup match {
+        case Some(d) => d.id
+        case None =>
+          writeManifest(root, (cur.filterNot(_.id == snap.id) :+ snap).sortBy(_.id),
+            tmpSuffix = s"-${snap.id}")
+          pruneReservations(root, snap.id)
+          snap.id
       }
-      if (winner < 0 && snapshots(root).exists(_.id == snap.id)) winner = snap.id
+    }
+    if (winner == snap.id) {
+      val cur = scala.util.Try(snapshots(root)).getOrElse(Seq(snap))
+      // Legitimate absence = a compact consumed it (its replacement is a
+      // LATER snapshot of the same stage). Absent with no later
+      // same-stage snapshot = a writer bypassed .manifest.lock.
+      if (!cur.exists(_.id == snap.id) &&
+          !cur.exists(s => s.stage == snap.stage && s.id > snap.id))
+        System.err.println(s"[IcebergLite] WARNING: snapshot ${snap.id} not " +
+          s"visible after locked commit at $root — a writer bypassing " +
+          ".manifest.lock clobbered the manifest (commit is still authoritative)")
     }
     winner
   }
@@ -190,25 +206,28 @@ object IcebergLite {
   /** Validated locked manifest transform (compaction's
     * add-one-remove-many swap): `transform` returns None to ABORT
     * (preconditions no longer hold — e.g. a concurrent compact already
-    * removed the captured snapshots); retries until `verifyId` is
-    * visible or an abort happens. Returns whether the swap landed. */
+    * removed the captured snapshots). Returns whether the swap landed —
+    * decided inside the critical section; the locked write is
+    * authoritative. */
   private def updateManifest(root: String, verifyId: Long,
-                             transform: Seq[Snapshot] => Option[Seq[Snapshot]]): Boolean = {
-    while (true) {
-      val applied = withManifestLock(root) {
-        transform(snapshots(root)) match {
-          case Some(next) =>
-            writeManifest(root, next, tmpSuffix = s"-$verifyId")
-            pruneReservations(root, verifyId)
-            true
-          case None => false
-        }
+                             transform: Seq[Snapshot] => Option[Seq[Snapshot]]): Boolean =
+    // The locked write is AUTHORITATIVE — success is decided inside the
+    // critical section (same rationale as [[commitManifest]]). A
+    // post-lock re-read retry would be wrong twice over: a concurrent
+    // LATER compact may legitimately consume `verifyId` before the
+    // re-read, and (a) re-running the transform would see its captured
+    // sources gone → abort → the caller deletes data dirs the later
+    // compact's rewrite was built from (data loss), or (b) re-apply a
+    // swap that already landed.
+    withManifestLock(root) {
+      transform(snapshots(root)) match {
+        case Some(next) =>
+          writeManifest(root, next, tmpSuffix = s"-$verifyId")
+          pruneReservations(root, verifyId)
+          true
+        case None => false
       }
-      if (!applied) return false
-      if (snapshots(root).exists(_.id == verifyId)) return true
     }
-    false // unreachable
-  }
 
   /** Drop `.ids/` markers at or below the just-committed id except the
     * ones above it (still possibly in flight). Best-effort; only called

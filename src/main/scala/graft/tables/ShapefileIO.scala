@@ -349,23 +349,37 @@ object ShapefileIO {
     (fs, rows)
   }
 
-  /** Write the complete shapefile trio (.shp + .shx + .dbf). `path` may
-    * name any of the three extensions (or none); siblings derive from
-    * the same base. Without attributes the .dbf carries a single `id`
-    * N-field holding each record's number, so the trio is always
+  /** The CRS the .prj sidecar declares: the engine's synthetic world is
+    * a local engineering grid in metres with no EPSG identity, which
+    * WKT1 expresses as a LOCAL_CS (OGC 01-009 §7.3.4). The reference
+    * writes .prj through fiona from the source raster's CRS
+    * (result/instancesegmentationresult.py:51-59, scripts/merge.py:
+    * 196-220); a fixed engineering WKT closes the "CRS unknown" gap a
+    * GIS stack hits on a .prj-less export. */
+  val PrjWkt: String =
+    "LOCAL_CS[\"graft synthetic world grid (metre)\"," +
+      "LOCAL_DATUM[\"graft world origin\",0]," +
+      "UNIT[\"metre\",1.0]," +
+      "AXIS[\"Easting\",EAST],AXIS[\"Northing\",NORTH]]"
+
+  /** Write the complete shapefile quartet (.shp + .shx + .dbf + .prj).
+    * `path` may name any of the extensions (or none); siblings derive
+    * from the same base. Without attributes the .dbf carries a single
+    * `id` N-field holding each record's number, so the set is always
     * GIS-openable. */
   def writeFile(path: String, records: Seq[ShpRecord]): Unit =
     writeFile(path, records, Seq(DbfField.int("id")), records.map(r => Seq(r.recordNum)))
 
   def writeFile(path: String, records: Seq[ShpRecord],
                 fields: Seq[DbfField], attrs: Seq[Seq[Any]]): Unit = {
-    val base = path.replaceAll("\\.(shp|shx|dbf)$", "")
+    val base = path.replaceAll("\\.(shp|shx|dbf|prj)$", "")
     val p = Paths.get(base + ".shp")
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val bodies = recordBodies(records) // serialize ring buffers ONCE for .shp + .shx
     Files.write(p, assembleShp(records, bodies))
     Files.write(Paths.get(base + ".shx"), writeShx(records, bodies))
     Files.write(Paths.get(base + ".dbf"), writeDbf(fields, attrs))
+    Files.write(Paths.get(base + ".prj"), PrjWkt.getBytes("US-ASCII"))
   }
 
   /** Export merged crowns with the reference's cross-image merge schema
@@ -515,10 +529,12 @@ object ShapefileIO {
 
   /** Distributed scan over a directory of .shp files: Spark's binaryFile
     * source lists + distributes the files; each file parses inside the
-    * scan. The sidecar .dbf (when present) is opened through the Hadoop
-    * filesystem INSIDE the same task — geometry and attributes pair up
-    * with zero shuffle. Output (path, record_num,
-    * rings ARRAY<ARRAY<DOUBLE>>, props MAP<STRING,STRING>). */
+    * scan. The sidecar .dbf/.prj (when present) are opened through the
+    * Hadoop filesystem INSIDE the same task — geometry, attributes and
+    * CRS pair up with zero shuffle. Sidecar ABSENCE reads as empty
+    * props / empty crs_wkt; a PRESENT-but-corrupt .dbf fails loud.
+    * Output (path, record_num, rings ARRAY<ARRAY<DOUBLE>>,
+    * props MAP<STRING,STRING>, crs_wkt STRING). */
   def readTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -529,26 +545,45 @@ object ShapefileIO {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
-          val sidecar: Seq[Map[String, String]] = try {
-            val dbfPath = new org.apache.hadoop.fs.Path(path.replaceAll("\\.shp$", ".dbf"))
-            val fs = dbfPath.getFileSystem(bc.value.value)
-            if (fs.exists(dbfPath)) {
-              val len = fs.getFileStatus(dbfPath).getLen.toInt
+          // sidecar loader: ABSENCE is fine (attribute-/CRS-less
+          // shapefiles are legal), but a sidecar that EXISTS and fails
+          // to read/parse must fail LOUD — a corrupt .dbf silently
+          // reading as "no attributes" is indistinguishable from real
+          // attribute-less data (repo convention: GeoTiffIO.parse
+          // fails loud on a corrupt tile the same way)
+          def sidecarBytes(ext: String): Option[Array[Byte]] = {
+            val scPath = new org.apache.hadoop.fs.Path(path.replaceAll("\\.shp$", ext))
+            val fs = scPath.getFileSystem(bc.value.value)
+            if (!fs.exists(scPath)) None
+            else {
+              val len = fs.getFileStatus(scPath).getLen.toInt
               val raw = new Array[Byte](len)
-              val in = fs.open(dbfPath)
+              val in = fs.open(scPath)
               try in.readFully(0, raw) finally in.close()
-              val (fds, rows) = parseDbf(raw)
+              Some(raw)
+            }
+          }
+          val sidecar: Seq[Map[String, String]] =
+            sidecarBytes(".dbf").map { raw =>
+              val (fds, rows) =
+                try parseDbf(raw)
+                catch {
+                  case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+                    s"corrupt .dbf sidecar for $path: ${e.getMessage}", e)
+                }
               rows.map(r => fds.map(_.name).zip(r).toMap)
-            } else Seq.empty
-          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+            }.getOrElse(Seq.empty)
+          val crsWkt = sidecarBytes(".prj")
+            .map(new String(_, "US-ASCII").trim).getOrElse("")
           // dbf row i pairs with shp record number i+1 (spec: record
           // numbers are sequential 1-based) — null-shape records keep
           // their dbf slot even though parse() doesn't emit them
           parse(bytes).map { r =>
-            (path, r.recordNum, r.rings, sidecar.lift(r.recordNum - 1).getOrElse(Map.empty[String, String]))
+            (path, r.recordNum, r.rings,
+              sidecar.lift(r.recordNum - 1).getOrElse(Map.empty[String, String]), crsWkt)
           }
         }
       }
-      .toDF("path", "record_num", "rings", "props")
+      .toDF("path", "record_num", "rings", "props", "crs_wkt")
   }
 }

@@ -392,6 +392,131 @@ class RasterPathSpec extends AnyFunSuite {
     assert(err.getMessage.contains("deflate"))
   }
 
+  /** Hand-assemble a STRIP-layout classic TIFF (tags 273/278/279) of a
+    * ConfTile — the layout rasterio/GDAL default to for small rasters
+    * (reference result/processedresult.py masks). `rowsPerStrip <= 0`
+    * omits tag 278 entirely (TIFF 6.0 default: one strip of 2^32-1
+    * rows). Spec-conformance builder, independent of the writer. */
+  private def stripTiff(t: RasterOps.ConfTile, rowsPerStrip: Int,
+                        deflate: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ydown = new Array[Byte](t.rows * t.cols)
+    for (r <- 0 until t.rows)
+      System.arraycopy(t.data, (t.rows - 1 - r) * t.cols, ydown, r * t.cols, t.cols)
+    val rps = if (rowsPerStrip <= 0) t.rows else rowsPerStrip
+    val nStrips = (t.rows + rps - 1) / rps
+    val strips = (0 until nStrips).map { i =>
+      val rowsIn = math.min(rps, t.rows - i * rps)
+      val raw = java.util.Arrays.copyOfRange(ydown, i * rps * t.cols,
+        i * rps * t.cols + rowsIn * t.cols)
+      if (deflate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+        var len = 0
+        while (!d.finished()) len += d.deflate(buf, len, buf.length - len)
+        d.end(); java.util.Arrays.copyOf(buf, len)
+      } else raw
+    }
+    val desc = (s"graft ConfTile region=${t.region} tile=${t.tileId} " +
+      s"class=${t.classIdx} gsd=${t.gsd} ").getBytes("US-ASCII")
+    val scale = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    scale.putDouble(t.gsd.toDouble).putDouble(t.gsd.toDouble).putDouble(0.0)
+    val tie = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+    tie.putDouble(0).putDouble(0).putDouble(0)
+    tie.putDouble(t.minX.toDouble)
+      .putDouble((t.minY + t.rows.toLong * t.gsd).toDouble).putDouble(0)
+
+    // layout: header | strips (word-aligned) | externals | IFD
+    var off = 8
+    val stripOffs = strips.map { s => val o = off; off += s.length; if (off % 2 != 0) off += 1; o }
+    def ext(bytes: Array[Byte]): Int = { val o = off; off += bytes.length; if (off % 2 != 0) off += 1; o }
+    val descOff = ext(desc)
+    val soOff = if (nStrips > 1) ext(new Array[Byte](4 * nStrips)) else -1
+    val scOff = if (nStrips > 1) ext(new Array[Byte](4 * nStrips)) else -1
+    val scaleOff = ext(scale.array()); val tieOff = ext(tie.array())
+    val ifd = off
+    // ascending tags: 256,257,258,259,262,270,273,277,278,279,33550,33922
+    case class E(tag: Int, tpe: Int, count: Int, value: Int)
+    val entries = Seq(
+      E(256, 4, 1, t.cols), E(257, 4, 1, t.rows), E(258, 3, 1, 8),
+      E(259, 3, 1, if (deflate) 8 else 1), E(262, 3, 1, 1),
+      E(270, 2, desc.length, descOff),
+      E(273, 4, nStrips, if (nStrips > 1) soOff else stripOffs.head),
+      E(277, 3, 1, 1)) ++
+      (if (rowsPerStrip > 0) Seq(E(278, 4, 1, rps)) else Nil) ++ Seq(
+      E(279, 4, nStrips, if (nStrips > 1) scOff else strips.head.length),
+      E(33550, 12, 3, scaleOff), E(33922, 12, 6, tieOff))
+    val total = ifd + 2 + 12 * entries.size + 4
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd)
+    strips.zip(stripOffs).foreach { case (s, o) => buf.position(o); buf.put(s) }
+    buf.position(descOff); buf.put(desc)
+    if (nStrips > 1) {
+      buf.position(soOff); stripOffs.foreach(buf.putInt)
+      buf.position(scOff); strips.foreach(s => buf.putInt(s.length))
+    }
+    buf.position(scaleOff); buf.put(scale.array())
+    buf.position(tieOff); buf.put(tie.array())
+    buf.position(ifd); buf.putShort(entries.size.toShort)
+    entries.foreach { e =>
+      buf.putShort(e.tag.toShort).putShort(e.tpe.toShort).putInt(e.count)
+      if (e.tpe == 3 && e.count == 1) { buf.putShort(e.value.toShort); buf.putShort(0) }
+      else buf.putInt(e.value)
+    }
+    buf.putInt(0)
+    buf.array()
+  }
+
+  test("GeoTIFF: STRIP layout parses identically to its tiled twin (plain + deflate + default RowsPerStrip)") {
+    import graft.tables.GeoTiffIO
+    val t = synthConfTile(300, 520, 8)
+    val tiled = GeoTiffIO.parse(GeoTiffIO.write(t, deflate = false))
+    for ((rps, deflate) <- Seq((64, false), (64, true), (7, false), (300, true), (-1, false))) {
+      val back = GeoTiffIO.parse(stripTiff(t, rps, deflate))
+      assert(back.region === tiled.region && back.tileId === tiled.tileId &&
+        back.classIdx === tiled.classIdx, s"identity differs rps=$rps")
+      assert(back.minX === tiled.minX && back.minY === tiled.minY &&
+        back.rows === tiled.rows && back.cols === tiled.cols && back.gsd === tiled.gsd)
+      assert(back.data sameElements tiled.data, s"pixels differ rps=$rps deflate=$deflate")
+    }
+    // corruption guards match the tiled path: truncated deflate strip fails loud
+    val bytes = stripTiff(t, 64, deflate = true)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    def cell(tag: Int) = (0 until n).map(i => ifd + 2 + 12 * i)
+      .find(e => (bb.getShort(e) & 0xFFFF) == tag).get + 8
+    val o0 = bb.getInt(bb.getInt(cell(273)))
+    val c0 = bb.getInt(bb.getInt(cell(279)))
+    val corrupt = bytes.clone()
+    java.util.Arrays.fill(corrupt, o0 + c0 / 2, o0 + c0, 0.toByte)
+    val err = intercept[IllegalArgumentException] { GeoTiffIO.parse(corrupt) }
+    assert(err.getMessage.contains("strip"))
+    // and a wrong on-disk byte count fails loud on the uncompressed path
+    val plain = stripTiff(t, 64, deflate = false)
+    val pb = java.nio.ByteBuffer.wrap(plain).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pifd = pb.getInt(4)
+    val pn = pb.getShort(pifd) & 0xFFFF
+    val pCntCell = (0 until pn).map(i => pifd + 2 + 12 * i)
+      .find(e => (pb.getShort(e) & 0xFFFF) == 279).get + 8
+    pb.putInt(pb.getInt(pCntCell), 1) // first strip claims 1 byte
+    val err2 = intercept[IllegalArgumentException] { GeoTiffIO.parse(pb.array()) }
+    assert(err2.getMessage.contains("strip"))
+  }
+
+  test("GeoTIFF: BigTIFF guard — oversized write fails loud before touching pixel data") {
+    // a raster whose padded payload would exceed the classic-TIFF /
+    // single-buffer bound must be rejected up front (offsets would
+    // silently truncate into a corrupt file). The guard fires before
+    // any data access, so empty data stands in for the 2 GiB array.
+    import graft.tables.GeoTiffIO
+    val huge = RasterOps.ConfTile(0, 0, 0, 0, 0, rows = 47000, cols = 47000,
+      gsd = 1, data = Array.emptyByteArray)
+    val err = intercept[IllegalArgumentException] { GeoTiffIO.write(huge) }
+    assert(err.getMessage.contains("2 GiB") && err.getMessage.contains("BigTIFF"))
+  }
+
   test("GeoTIFF table sink/source: distributed write + scan round trip over the mosaic") {
     import graft.tables.GeoTiffIO
     val tiles = RasterOps.mosaic(spark,

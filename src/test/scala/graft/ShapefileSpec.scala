@@ -102,12 +102,19 @@ class ShapefileSpec extends AnyFunSuite {
     assert(closed.head.rings.head sameElements open)
   }
 
-  test("writeFile emits the .shp/.shx/.dbf trio; shx offsets index the shp records") {
+  test("writeFile emits the .shp/.shx/.dbf/.prj quartet; shx offsets index the shp records") {
     val dir = java.nio.file.Files.createTempDirectory("shptrio").toString
     val recs = Seq(ShpRecord(1, Seq(square)), ShpRecord(2, Seq(square, hole)), ShpRecord(3, Seq.empty))
     ShapefileIO.writeFile(s"$dir/t.shp", recs)
-    for (ext <- Seq("shp", "shx", "dbf"))
+    for (ext <- Seq("shp", "shx", "dbf", "prj"))
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.$ext")), ext)
+    // .prj content: the engine's fixed engineering CRS (WKT1 LOCAL_CS —
+    // the synthetic world grid has no EPSG identity), fiona-analogue of
+    // result/instancesegmentationresult.py:51-59
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/t.prj")), "US-ASCII")
+    assert(prj === ShapefileIO.PrjWkt)
+    assert(prj.startsWith("LOCAL_CS[") && prj.contains("UNIT[\"metre\",1.0]"))
     val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shp"))
     val idx = ShapefileIO.parseShx(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.shx")))
     assert(idx.size === 3 && idx.head._1 === 50) // first record right after header
@@ -179,6 +186,30 @@ class ShapefileSpec extends AnyFunSuite {
       assert(math.abs(props("area").toDouble - m.area) < 1e-6)
       assert(props("class").toInt === m.classIdx)
     }
+    // .prj sidecar surfaces as crs_wkt on every row of the scan
+    val wkts = df.select("crs_wkt").distinct().collect().map(_.getString(0))
+    assert(wkts.toSeq === Seq(ShapefileIO.PrjWkt))
+  }
+
+  test("readTable: corrupt .dbf sidecar fails LOUD; absent sidecars read as empty") {
+    val dir = java.nio.file.Files.createTempDirectory("shpcorrupt").toString
+    ShapefileIO.writeFile(s"$dir/a.shp", Seq(ShpRecord(1, Seq(square))))
+    // no sidecars at all: bare .shp scans fine with empty props/crs
+    val bare = java.nio.file.Files.createTempDirectory("shpbare").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/a.shp"),
+      java.nio.file.Paths.get(s"$bare/a.shp"))
+    val row = ShapefileIO.readTable(spark, bare).select("props", "crs_wkt").head()
+    assert(row.getMap[String, String](0).isEmpty && row.getString(1) === "")
+    // PRESENT-but-truncated .dbf must not silently read as "no attributes"
+    val dbf = java.nio.file.Paths.get(s"$dir/a.dbf")
+    java.nio.file.Files.write(dbf,
+      java.util.Arrays.copyOf(java.nio.file.Files.readAllBytes(dbf), 9))
+    val err = intercept[org.apache.spark.SparkException] {
+      ShapefileIO.readTable(spark, dir).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(err).exists(c => Option(c.getMessage).exists(_.contains("corrupt .dbf"))))
   }
 
   test("writeMergedCrowns orients donut holes CCW (outer CW) despite same-winding tracer rings") {
