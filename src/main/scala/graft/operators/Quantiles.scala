@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * distinct keys (a window partition is one task). That fits this
   * engine's percentile consumers (returnflag groups, region × class
   * report groups — many keys or bounded data); a single-group
-  * percentile over a huge table wants a range-partitioned global sort
-  * instead. NULL values rank last and are excluded from `n`, so an
+  * percentile over a huge table wants [[globalPercentiles]] (the
+  * range-partitioned global-sort variant below) instead. NULL values
+  * rank last and are excluded from `n`, so an
   * all-NULL group yields (key, NULL) exactly like the built-in.
   */
 object Quantiles {
@@ -73,5 +74,77 @@ object Quantiles {
           .otherwise(col(s"_lo$i") * col(s"_wl$i") + col(s"_hi$i") * col(s"_wh$i"))
           .as(s"q$i")
       }: _*)
+  }
+
+  /** The sorted stage of [[globalPercentiles]], exposed for plan
+    * assertions: a range-partitioned GLOBAL sort (every partition
+    * sorts in parallel and spills like any ORDER BY) tagged with the
+    * post-exchange partition id. */
+  private[graft] def globalSorted(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .orderBy(col("_v"))
+      .select(spark_partition_id().as("_pid"), col("_v"))
+
+  /** KEY-FREE interpolated percentiles of `value` over the WHOLE table
+    * — the low-key-cardinality complement of [[exactPercentiles]]
+    * (whose window sort serializes to one task per distinct key, fine
+    * for many-key groups, wrong for one giant group). Shape: one
+    * range-partitioned global sort (parallel + spilling), then global
+    * ranks are recovered from per-partition row counts (a tiny
+    * collect) and ONLY the 2·|qs| bracketing ranks are plucked in a
+    * narrow zero-shuffle pass; interpolation runs driver-side on those
+    * scalars with EXACTLY the same two-sided formula and both
+    * short-circuits as [[exactPercentiles]], so the two variants
+    * bit-match (property-tested). Output: one row, columns `q0, q1, …`
+    * (all NULL when no non-null values, like the built-in). */
+  def globalPercentiles(df: DataFrame, value: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint (repo convention, not persist): the sorted rows
+    // feed two jobs — partition counts, then rank plucks — and must
+    // not recompute the sort in between. Partition layout and
+    // within-partition (sorted) order survive the checkpoint.
+    val sorted = globalSorted(df, value).as[(Int, Double)].localCheckpoint()
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] = { // rows in sorted partitions BEFORE pid
+      var acc = 0L
+      counts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    val targetRanks: Set[Long] = qs.flatMap { q =>
+      val pos = (n - 1) * q
+      Seq(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1) // 1-based
+    }.toSet
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTargets = spark.sparkContext.broadcast(targetRanks)
+    val picked: Map[Long, Double] =
+      if (n == 0) Map.empty
+      else sorted.mapPartitions { it =>
+        var idx = 0L
+        it.flatMap { case (pid, v) =>
+          idx += 1
+          val rank = bcOff.value(pid) + idx
+          if (bcTargets.value.contains(rank)) Iterator((rank, v)) else Iterator.empty
+        }
+      }.collect().toMap
+    val row = org.apache.spark.sql.Row.fromSeq(qs.map { q =>
+      if (n == 0) null
+      else {
+        val pos = (n - 1) * q
+        val lo = picked(math.floor(pos).toLong + 1)
+        val hi = picked(math.ceil(pos).toLong + 1)
+        val wh = pos - math.floor(pos)
+        // same two short-circuits as the window variant (bit-match)
+        if (wh == 0.0 || lo == hi) lo else lo * (math.ceil(pos) - pos) + hi * wh
+      }
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      org.apache.spark.sql.types.StructType(qs.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"q$i",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 }

@@ -121,6 +121,21 @@ class ApiSpec extends AnyFunSuite {
     val jpg = java.nio.file.Files.readAllBytes(file("area_histogram.jpg"))
     val img = graft.operators.Multimodal.JdkCodec.decodeImage(jpg)
     assert(img.isDefined && img.get.getWidth === 640 && img.get.getHeight === 400)
+    // pin the DECODED pixel channel sums (not the file bytes — JPEG
+    // entropy coding may legally differ) so a JDK/Graphics2D behavior
+    // change is caught instead of silently redrawing the report image
+    val sums = {
+      var (r, g0, b) = (0L, 0L, 0L)
+      val im = img.get
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+        val p = im.getRGB(x, y)
+        r += (p >> 16) & 0xff; g0 += (p >> 8) & 0xff; b += p & 0xff
+      }
+      (r, g0, b)
+    }
+    info(s"histogram jpg channel sums: $sums")
+    assert(sums === ((55620290L, 58369132L, 55641488L)),
+      "area_histogram.jpg pixel content drifted (JDK render change?)")
     // histogram json matches the operator output row count
     val hj = new String(java.nio.file.Files.readAllBytes(file("area_histogram.json")), "UTF-8")
     assert(hj.startsWith("[{\"region\":") && hj.contains("\"bin\":"))

@@ -321,6 +321,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Quantiles.globalPercentiles bit-matches the window variant (and the built-in)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sizes hitting every interpolation edge; duplicates force the
+    // equal-bracketing short-circuit; fractional values force real
+    // interpolation arithmetic in both variants
+    for (n <- Seq(1, 2, 3, 7, 97, 1000)) {
+      val vals: Seq[java.lang.Double] =
+        (0 until n).map(_ => java.lang.Double.valueOf(
+          (rnd.nextInt(200) - 100) + (if (rnd.nextBoolean()) 0.25 else 0.0))) ++
+        (if (n > 2) Seq(null.asInstanceOf[java.lang.Double]) else Nil) // nulls excluded
+      val df = vals.map(v => ("all", v)).toDF("k", "v")
+      val qs = Seq(0.0, 0.1, 0.25, 0.3, 0.5, 0.9, 0.99, 1.0)
+      val g = graft.operators.Quantiles.globalPercentiles(df, col("v"), qs).head()
+      val w = graft.operators.Quantiles.exactPercentiles(df, "k", col("v"), qs).head()
+      qs.indices.foreach { i =>
+        assert(!g.isNullAt(i) && !w.isNullAt(i + 1), s"n=$n q=${qs(i)}")
+        // BIT equality between the two variants
+        assert(java.lang.Double.doubleToRawLongBits(g.getDouble(i)) ===
+          java.lang.Double.doubleToRawLongBits(w.getDouble(i + 1)),
+          s"n=$n q=${qs(i)}: global ${g.getDouble(i)} vs window ${w.getDouble(i + 1)}")
+      }
+    }
+    // no non-null values → one row of NULLs (built-in behavior)
+    val empty = Seq(("all", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
+    val ge = graft.operators.Quantiles.globalPercentiles(empty, col("v"), Seq(0.5)).head()
+    assert(ge.isNullAt(0))
+  }
+
+  test("Quantiles.globalPercentiles plan: range-partitioned sort, no single-task window") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("all", i.toDouble)).toDF("k", "v")
+    val plan = graft.operators.Quantiles.globalSorted(df, col("v"))
+      .queryExecution.executedPlan.toString
+    // the parallel shape: a RANGE exchange feeding per-partition sorts —
+    // not the window variant's hash-exchange-to-one-task
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("areaHistogram: matplotlib hist semantics (range tails, inclusive last bin, degenerate)") {
     import spark.implicits._
     // group (0,0): areas 1..100 m² in micro units → q90 interpolates

@@ -102,6 +102,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.toSeq === batchKeepers.toSeq)
   }
 
+  test("streaming dedup TTL: expired state re-admits a hash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val ttlMs = 2000L
+    // NOTE: processAllAvailable() CANNOT be used here — with
+    // ProcessingTimeTimeout armed, the stateful operator's
+    // shouldRunAnotherBatch is always true (a later batch may need to
+    // fire evictions), so the engine never raises the no-new-data flag
+    // that call waits on. The engine instead runs micro-batches
+    // continuously; the test polls the sink with a deadline.
+    val q = StreamingIngest.streamingDedup(docs, ttlMs)
+      .toDF("h", "keeper")
+      .writeStream.format("memory").queryName("stream_dedup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def keepers() =
+      spark.sql("SELECT keeper FROM stream_dedup_ttl").collect().map(_.getLong(0)).sorted.toSeq
+    def awaitKeepers(expect: Seq[Long], why: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(100)
+      assert(keepers() === expect, why)
+    }
+    mem.addData((1L, "dup text"))
+    awaitKeepers(Seq(1L), "first sighting emits")
+    // within the TTL horizon the duplicate is still dropped: wait until
+    // the duplicate's batch is fully processed (the marker doc from the
+    // SAME addData call proves it), then check nothing extra appeared
+    mem.addData((5L, "dup text"), (50L, "marker text"))
+    awaitKeepers(Seq(1L, 50L), "duplicate within TTL horizon is dropped")
+    // let the TTL lapse; the engine's continuous timeout batches evict
+    // the idle hash, and the next sighting is re-admitted fresh
+    Thread.sleep(ttlMs + 1500)
+    mem.addData((7L, "dup text"))
+    awaitKeepers(Seq(1L, 7L, 50L),
+      "hash unseen for > TTL must be re-admitted after state eviction")
+    q.stop()
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider (scale conf smoke)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The documented 100-TB configuration: out-of-heap RocksDB state
+    // (provider ships in spark-sql) + changelog checkpointing so a
+    // batch commit uploads an incremental log, not a full snapshot
+    // zip. One micro-batch only — the provider's per-batch commit is
+    // heavyweight on this sandbox FS, and the TTL state-machine logic
+    // is already covered store-independently above.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(provKey)
+    val prevParts = spark.conf.get(partsKey)
+    val prevChangelog = spark.conf.getOption(changelogKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(partsKey, "2") // state store count fixes at query start
+    spark.conf.set(changelogKey, "true")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingIngest.streamingDedup(mem.toDF().toDF("doc_id", "text"))
+        .toDF("h", "keeper")
+        .writeStream.format("memory").queryName("stream_dedup_rocks")
+        .outputMode("append").start()
+      mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.sql("SELECT keeper FROM stream_dedup_rocks")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(out === Seq(1L, 3L), "dedup semantics identical on RocksDB state")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      spark.conf.set(partsKey, prevParts)
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None => spark.conf.unset(changelogKey)
+      }
+    }
+  }
+
   test("watermarked windowed cell counts aggregate by event time") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
