@@ -27,6 +27,74 @@ object SparkEntry {
   /** Pages CTE for oracle SQL (always sf0.01 — the driver's verify sf). */
   private def pagesCte = s"WITH pages AS (${PagesGen.duckdbSql(OracleRows)})"
 
+  /** DuckDB replica of `(a mod 2^64) * m mod 2^64` on UBIGINT column
+    * `z`: DuckDB integer ops ERROR on overflow instead of wrapping, so
+    * the product is assembled from 32-bit halves in HUGEINT —
+    * `lo·mlo + 2^32·((lo·mhi + hi·mlo) mod 2^32) (mod 2^64)`. */
+  private def mulMod64(mlo: Long, mhi: Long) =
+    s"""CAST((
+       |      (CAST(z % 4294967296 AS HUGEINT) * $mlo) % 18446744073709551616
+       |    + ((CAST(z % 4294967296 AS HUGEINT) * $mhi
+       |        + CAST(z >> 32 AS HUGEINT) * $mlo) % 4294967296) * 4294967296
+       |    ) % 18446744073709551616 AS UBIGINT)""".stripMargin
+
+  /** DuckDB replica of the crown-synthesis chain (CrownOps.mix64 /
+    * synthPoly / synthClass / synthScore / capPerTile inputs): the
+    * splitmix64 hash runs in exact mod-2^64 UBIGINT/HUGEINT
+    * arithmetic (verified bit-identical to the JVM for the whole id
+    * range), polygon vertices come from the same closed-form
+    * `x + r_k·cos/sin(phase + 2πk/nv)` per vertex k, and the bbox is
+    * the min/max over vertices. Identity, class and score columns
+    * reproduce BIT-exactly (pure integer/IEEE arithmetic); only the
+    * bbox depends on libm cos/sin, which differ from the JVM's fdlibm
+    * by ≤1 ulp on ~0.01% of angles — which is why the oracle-compared
+    * bbox columns are micro-rounded (`floor(v·1e6 + 0.5)`) on BOTH
+    * sides (verified collision-free over all 4×132,361 values at the
+    * driver's sf0.01 gate scale). Emits one row per surviving
+    * (page × tile) crown with the same edge-rejection filter. */
+  private def crownsSynthSql(regionFilter: String = "") =
+    s"""$pagesCte,
+       |tiles AS (SELECT t AS tile_id, CAST((t % 3) * 512 AS DOUBLE) AS tmin_x,
+       |                 CAST((t // 3) * 512 AS DOUBLE) AS tmin_y
+       |          FROM (SELECT unnest(generate_series(0, 8)) AS t)),
+       |asg AS (SELECT i, i // 6000 AS region, tile_id, x, y, tmin_x, tmin_y
+       |        FROM pages JOIN tiles ON x >= tmin_x AND x < tmin_x + 1024
+       |                             AND y >= tmin_y AND y < tmin_y + 1024
+       |        $regionFilter),
+       |s0 AS (SELECT i, x, y, CAST((CAST(i AS HUGEINT) + 11400714819323198485)
+       |                            % 18446744073709551616 AS UBIGINT) AS z FROM pages),
+       |x1 AS (SELECT i, x, y, xor(z, z >> 30) AS z FROM s0),
+       |m1 AS (SELECT i, x, y, ${mulMod64(484763065L, 3210233709L)} AS z FROM x1),
+       |x2 AS (SELECT i, x, y, xor(z, z >> 27) AS z FROM m1),
+       |m2 AS (SELECT i, x, y, ${mulMod64(321982955L, 2496678331L)} AS z FROM x2),
+       |hsh AS (SELECT i, x, y, xor(z, z >> 31) AS h FROM m2),
+       |attrs AS (SELECT i, x, y, h,
+       |  CAST(3 + ((h % 5) + 5 - CASE WHEN h >= 9223372036854775808
+       |                               THEN 1 ELSE 0 END) % 5 AS INT) AS nv,
+       |  CAST(8 + (h >> 8) % 24 AS DOUBLE) AS r,
+       |  CAST((h >> 16) % 360 AS DOUBLE) * pi() / 180.0 AS phase,
+       |  0.05 + 0.9 * (CAST((h >> 24) % 100000 AS DOUBLE) / 100000.0) AS s,
+       |  CAST((h >> 40) % 2 AS INT) AS class_idx
+       |  FROM hsh),
+       |verts AS (SELECT i,
+       |    x + r * (0.75 + 0.25 * (CAST((h >> (4 * k + 3)) % 16 AS DOUBLE) / 15.0))
+       |      * cos(phase + 2 * pi() * k / nv) AS vx,
+       |    y + r * (0.75 + 0.25 * (CAST((h >> (4 * k + 3)) % 16 AS DOUBLE) / 15.0))
+       |      * sin(phase + 2 * pi() * k / nv) AS vy
+       |  FROM attrs, LATERAL (SELECT unnest(generate_series(0, nv - 1)) AS k) ks),
+       |bbox AS (SELECT i, min(vx) AS bminx, max(vx) AS bmaxx,
+       |                 min(vy) AS bminy, max(vy) AS bmaxy
+       |         FROM verts GROUP BY i),
+       |crowns AS (
+       |  SELECT asg.region, asg.i * 9 + asg.tile_id AS crown_id, asg.i AS page_id,
+       |         asg.tile_id, a.class_idx,
+       |         a.s + asg.tile_id * 1e-7 AS score,
+       |         b.bminx AS min_x, b.bminy AS min_y, b.bmaxx AS max_x, b.bmaxy AS max_y
+       |  FROM asg JOIN attrs a ON asg.i = a.i JOIN bbox b ON asg.i = b.i
+       |  WHERE NOT (a.class_idx = 1 AND (
+       |    b.bminx - asg.tmin_x < 5.0 OR b.bminy - asg.tmin_y < 5.0 OR
+       |    b.bmaxx - asg.tmin_x > 1019.0 OR b.bmaxy - asg.tmin_y > 1019.0)))""".stripMargin
+
   /** Flagship: full geometry pipeline on sf0.001 — pages → geocode →
     * tile assign → crown synthesis (with edge rejection) → per-region
     * NMS → dissolve/split merge. Driver smoke-checks rows > 0. */
@@ -389,14 +457,22 @@ object SparkEntry {
     }),
 
     // --- geometry pipeline (rows-only checks: not SQL-expressible)
+    // Oracle-checked end to end (X1/S3): identity/class/score columns
+    // reproduce BIT-exactly in DuckDB (splitmix64 in mod-2^64 SQL
+    // arithmetic + pure IEEE score chain); the bbox columns are
+    // micro-rounded on both sides because libm cos/sin differ from the
+    // JVM's by ≤1 ulp on ~0.01% of angles (see crownsSynthSql).
     "crowns_synth" -> ((s, dir) => {
       val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
       CrownOps.synthesize(s, assigned, GeoOps.TileGrid.Default).toDF()
         .select(col("region"), col("crownId").as("crown_id"),
           col("pageId").as("page_id"), col("tileId").as("tile_id"),
-          col("classIdx").as("class_idx"), col("score"),
-          col("minX").as("min_x"), col("minY").as("min_y"),
-          col("maxX").as("max_x"), col("maxY").as("max_y"))
+          col("classIdx").as("class_idx"),
+          floor(col("score") * 1e9 + 0.5).as("score_nano"),
+          floor(col("minX") * 1e6 + 0.5).as("min_x_micro"),
+          floor(col("minY") * 1e6 + 0.5).as("min_y_micro"),
+          floor(col("maxX") * 1e6 + 0.5).as("max_x_micro"),
+          floor(col("maxY") * 1e6 + 0.5).as("max_y_micro"))
     }),
     "crowns_merged" -> ((s, dir) => {
       val assigned = GeoOps.assignTiles(PagesGen.pagesFor(s, dir))
@@ -546,6 +622,26 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // NOTE: DuckDB sum(BIGINT) is HUGEINT (int128) — the driver hashes
     // typed values, so every sum gets an outer CAST(... AS BIGINT).
+    "crowns_synth" ->
+      s"""${crownsSynthSql()}
+         |SELECT region, crown_id, page_id, tile_id, class_idx,
+         |  CAST(floor(score * 1e9 + 0.5) AS BIGINT) AS score_nano,
+         |  CAST(floor(min_x * 1e6 + 0.5) AS BIGINT) AS min_x_micro,
+         |  CAST(floor(min_y * 1e6 + 0.5) AS BIGINT) AS min_y_micro,
+         |  CAST(floor(max_x * 1e6 + 0.5) AS BIGINT) AS max_x_micro,
+         |  CAST(floor(max_y * 1e6 + 0.5) AS BIGINT) AS max_y_micro
+         |FROM crowns""".stripMargin,
+    // the W4 cap: scores are bit-identical between engine and replica
+    // (no trig in the chain), so the (score DESC, crown_id) window
+    // order — and therefore the kept set — matches exactly
+    "crowns_capped" ->
+      s"""${crownsSynthSql("WHERE i < 6000")}
+         |SELECT region, tile_id, count(*) AS n_kept FROM (
+         |  SELECT region, tile_id,
+         |    row_number() OVER (PARTITION BY region, tile_id
+         |      ORDER BY score DESC, crown_id) AS rn
+         |  FROM crowns)
+         |WHERE rn <= 256 GROUP BY region, tile_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
