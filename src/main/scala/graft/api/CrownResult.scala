@@ -186,12 +186,12 @@ final case class CrownResult(
     // The IMAGE is ONE histogram over one GLOBAL [0.5, q90] range —
     // report.py:122-129 draws a single plt.hist over all tree areas.
     // (Summing the per-(region, class) operator bins by index would mix
-    // incomparable bin widths: each group has its own q90.) Collapsing
-    // the group keys to a constant reuses the operator with one group.
-    val globalHist = CrownOps.areaHistogram(
-        areas.select(lit(0L).as("region"), lit(0L).as("class_idx"), col("area_micro")))
+    // incomparable bin widths: each group has its own q90.) The global
+    // variant's q90 comes from the range-partitioned sort, so the one
+    // giant group doesn't serialize at scale.
+    val globalHist = CrownOps.areaHistogramGlobal(areas)
       .orderBy("bin").collect()
-      .map(r => (r.getLong(2).toInt, r.getLong(3)))
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
     renderHistogramJpg(dir.resolve("area_histogram.jpg").toString, globalHist)
 
     graft.tables.GeoTiffIO.writeTable(mosaic, s"$outDir/masks", deflate = true)

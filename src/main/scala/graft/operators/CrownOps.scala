@@ -502,12 +502,35 @@ object CrownOps {
       .select(col("region"), col("class_idx"), col("q0").as("hi"))
     areas.join(broadcast(hi), Seq("region", "class_idx"))
       .where(col("area_micro") >= loMicro && col("area_micro") <= col("hi"))
-      .withColumn("bin",
-        when(col("hi") > lit(loMicro.toDouble),
-          least(floor((col("area_micro") - lit(loMicro)) * lit(bins.toDouble) /
-            (col("hi") - lit(loMicro.toDouble))).cast("double"), lit((bins - 1).toDouble)))
-          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("bin", histBin(bins, loMicro))
       .groupBy(col("region"), col("class_idx"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The matplotlib bin index for a row given its group's `hi` column
+    * (shared by the grouped and global histogram variants). */
+  private def histBin(bins: Int, loMicro: Long) =
+    when(col("hi") > lit(loMicro.toDouble),
+      least(floor((col("area_micro") - lit(loMicro)) * lit(bins.toDouble) /
+        (col("hi") - lit(loMicro.toDouble))).cast("double"), lit((bins - 1).toDouble)))
+      .otherwise(lit(0.0)).cast("long")
+
+  /** ONE histogram over ALL rows — what report.py:122-129 actually
+    * draws (a single plt.hist over every tree area, one global q90).
+    * Same matplotlib bin semantics as [[areaHistogram]], but the q90
+    * comes from [[Quantiles.globalPercentiles]] — the range-partitioned
+    * global sort — because this is the single-giant-group shape where
+    * the window variant would serialize into one task at 100 TB. The
+    * two q90s bit-match (property-tested in Quantiles), so the global
+    * histogram equals the grouped one run with constant keys. Output
+    * (bin, cnt). */
+  def areaHistogramGlobal(areas: DataFrame, bins: Int = 75,
+                          loMicro: Long = 500000L): DataFrame = {
+    val hi = Quantiles.globalPercentiles(areas, col("area_micro"), Seq(0.9))
+      .select(col("q0").as("hi"))
+    areas.crossJoin(broadcast(hi)) // 1-row broadcast, not a real cross
+      .where(col("area_micro") >= loMicro && col("area_micro") <= col("hi"))
+      .withColumn("bin", histBin(bins, loMicro))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
   }
 }

@@ -388,5 +388,22 @@ class OpsSpec extends AnyFunSuite {
     assert(hist.collect { case ((1L, 0L, b), c) => b -> c } === Map(0L -> 3L))
     // group entirely below lo is excluded (no rows at all)
     assert(!hist.keys.exists(_._1 == 2L))
+
+    // the GLOBAL variant (range-partitioned-sort q90) equals the
+    // grouped operator run with the keys collapsed to a constant —
+    // the bit-match contract that lets report.py's single histogram
+    // use the parallel path
+    val global = graft.operators.CrownOps.areaHistogramGlobal(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = graft.operators.CrownOps.areaHistogram(
+        df.select(lit(0L).as("region"), lit(0L).as("class_idx"), col("area_micro")))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(global === collapsed)
+    assert(global.values.sum === rows.count(_._3 >= 500000L).toLong -
+      rows.count(r => r._3 > {
+        val s = rows.map(_._3.toDouble).sorted
+        val p = 0.9 * (s.size - 1)
+        s(p.toInt) + (p - p.toInt) * (s(p.toInt + 1) - s(p.toInt))
+      }).toLong)
   }
 }
