@@ -91,6 +91,10 @@ object SparkEntry {
        |         a.s + asg.tile_id * 1e-7 AS score,
        |         b.bminx AS min_x, b.bminy AS min_y, b.bmaxx AS max_x, b.bmaxy AS max_y
        |  FROM asg JOIN attrs a ON asg.i = a.i JOIN bbox b ON asg.i = b.i
+       |  /* edge filter compares UNROUNDED trig-dependent bboxes against
+       |     5/1019: accepted residual risk — a libm change could flip a
+       |     row only if its bbox sits within ~1e-13 of the threshold
+       |     (none does at the sf0.01 gate; environment's DuckDB pinned) */
        |  WHERE NOT (a.class_idx = 1 AND (
        |    b.bminx - asg.tmin_x < 5.0 OR b.bminy - asg.tmin_y < 5.0 OR
        |    b.bmaxx - asg.tmin_x > 1019.0 OR b.bmaxy - asg.tmin_y > 1019.0)))""".stripMargin

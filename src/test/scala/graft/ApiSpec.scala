@@ -123,7 +123,10 @@ class ApiSpec extends AnyFunSuite {
     assert(img.isDefined && img.get.getWidth === 640 && img.get.getHeight === 400)
     // pin the DECODED pixel channel sums (not the file bytes — JPEG
     // entropy coding may legally differ) so a JDK/Graphics2D behavior
-    // change is caught instead of silently redrawing the report image
+    // change is caught instead of silently redrawing the report image.
+    // INTENTIONALLY environment-sensitive: on a different JDK build
+    // this fails as a canary — re-pin after eyeballing the image, it
+    // is not a code regression
     val sums = {
       var (r, g0, b) = (0L, 0L, 0L)
       val im = img.get

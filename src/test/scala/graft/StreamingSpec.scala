@@ -107,7 +107,11 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
-    val ttlMs = 2000L
+    // generous TTL: the within-horizon check below requires the
+    // duplicate's batch to process within ttlMs of the first sighting —
+    // batches run every 200 ms, so 5 s absorbs multi-second GC/JIT
+    // stalls on a loaded host without making the test flaky
+    val ttlMs = 5000L
     // NOTE: processAllAvailable() CANNOT be used here — with
     // ProcessingTimeTimeout armed, the stateful operator's
     // shouldRunAnotherBatch is always true (a later batch may need to
@@ -120,27 +124,28 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
       .start()
-    def keepers() =
-      spark.sql("SELECT keeper FROM stream_dedup_ttl").collect().map(_.getLong(0)).sorted.toSeq
-    def awaitKeepers(expect: Seq[Long], why: String): Unit = {
-      val deadline = System.currentTimeMillis + 60000
-      while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(100)
-      assert(keepers() === expect, why)
-    }
-    mem.addData((1L, "dup text"))
-    awaitKeepers(Seq(1L), "first sighting emits")
-    // within the TTL horizon the duplicate is still dropped: wait until
-    // the duplicate's batch is fully processed (the marker doc from the
-    // SAME addData call proves it), then check nothing extra appeared
-    mem.addData((5L, "dup text"), (50L, "marker text"))
-    awaitKeepers(Seq(1L, 50L), "duplicate within TTL horizon is dropped")
-    // let the TTL lapse; the engine's continuous timeout batches evict
-    // the idle hash, and the next sighting is re-admitted fresh
-    Thread.sleep(ttlMs + 1500)
-    mem.addData((7L, "dup text"))
-    awaitKeepers(Seq(1L, 7L, 50L),
-      "hash unseen for > TTL must be re-admitted after state eviction")
-    q.stop()
+    try {
+      def keepers() =
+        spark.sql("SELECT keeper FROM stream_dedup_ttl").collect().map(_.getLong(0)).sorted.toSeq
+      def awaitKeepers(expect: Seq[Long], why: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(100)
+        assert(keepers() === expect, why)
+      }
+      mem.addData((1L, "dup text"))
+      awaitKeepers(Seq(1L), "first sighting emits")
+      // within the TTL horizon the duplicate is still dropped: wait until
+      // the duplicate's batch is fully processed (the marker doc from the
+      // SAME addData call proves it), then check nothing extra appeared
+      mem.addData((5L, "dup text"), (50L, "marker text"))
+      awaitKeepers(Seq(1L, 50L), "duplicate within TTL horizon is dropped")
+      // let the TTL lapse; the engine's continuous timeout batches evict
+      // the idle hash, and the next sighting is re-admitted fresh
+      Thread.sleep(ttlMs + 1500)
+      mem.addData((7L, "dup text"))
+      awaitKeepers(Seq(1L, 7L, 50L),
+        "hash unseen for > TTL must be re-admitted after state eviction")
+    } finally q.stop() // TTL-armed queries batch FOREVER — never leak one
   }
 
   test("streaming dedup runs on the RocksDB state store provider (scale conf smoke)") {
@@ -168,9 +173,10 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("h", "keeper")
         .writeStream.format("memory").queryName("stream_dedup_rocks")
         .outputMode("append").start()
-      mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
-      q.processAllAvailable()
-      q.stop()
+      try {
+        mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+        q.processAllAvailable()
+      } finally q.stop() // don't leak the query if the batch throws
       val out = spark.sql("SELECT keeper FROM stream_dedup_rocks")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(out === Seq(1L, 3L), "dedup semantics identical on RocksDB state")
