@@ -104,16 +104,24 @@ object CrownJob {
   def mergedResult(spark: SparkSession, warehouse: String): Option[DataFrame] =
     IcebergLite.read(spark, warehouse, StageMerged)
 
+  /** spark-submit entry: `spark-submit --class graft.jobs.CrownJob
+    * <jar> [nPages] [warehouse]`. The master and parallelism knobs are
+    * taken from the SUBMIT environment when present (spark-submit sets
+    * `spark.master` as a system property) — the local[] fallback is
+    * only for bare `java`/sbt runs, so the same main drives a real
+    * multi-executor cluster unchanged. */
   def main(args: Array[String]): Unit = {
     val nPages = args.headOption.map(_.toLong).getOrElse(6000L)
     val warehouse = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val builder = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // never override spark-submit's --master / --conf
+    if (!sys.props.contains("spark.master"))
+      builder.master(s"local[$cpus]").config("spark.ui.enabled", "false")
+    if (!sys.props.contains("spark.sql.shuffle.partitions"))
+      builder.config("spark.sql.shuffle.partitions", cpus)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, Conf(nPages, warehouse))
     println(s"merged rows: ${mergedResult(spark, warehouse).map(_.count()).getOrElse(0L)}")
