@@ -20,6 +20,13 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** 1-minute loadavg for run transparency (shared by the bench
+    * entry points). */
+  def loadavg: String =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ").take(1).mkString)
+      .getOrElse("?")
+
   /** xor of xxhash64 over EVERY output column — the per-query bench
     * checksum, shared with QueryGoldenSpec's committed goldens so the
     * measured artifact and the verified artifact are the same hash.
@@ -35,9 +42,16 @@ object Bench {
     * (way more splits than slots) and straggler insurance: with one
     * partition per core a single externally-slowed task stretches the
     * whole job by its full delay. */
-  private def pagesOverPartitioned(spark: SparkSession, n: Long) =
-    PagesGen.projectColumns(
-      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4).toDF("i"))
+  private def pagesOverPartitioned(spark: SparkSession, n: Long) = {
+    // `graft.bench.parallelism` overrides defaultParallelism: right
+    // after a cluster session starts, executors may not have
+    // registered yet and defaultParallelism reads its 2-core floor —
+    // SubmitBench sets the override from the master string so even the
+    // first warm-up runs at the cluster's real width
+    val par = spark.conf.getOption("graft.bench.parallelism").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    PagesGen.projectColumns(spark.range(0, n, 1, par * 4).toDF("i"))
+  }
 
   /** The north-metric job: pages → geocode → covering-tile explode →
     * (region, tile) counts. Output rows = assignments. */

@@ -23,11 +23,6 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def loadavg: String =
-    scala.util.Try(java.nio.file.Files.readString(
-      java.nio.file.Paths.get("/proc/loadavg")).split(" ").take(1).mkString)
-      .getOrElse("?")
-
   /** Session with `nExec` executor JVMs x `coresPer` cores each.
     * local-cluster (separate executor JVMs, own GC — the faithful
     * "N vs 4N executors" shape) when SPARK_GRAFT_CLUSTER=1; single-JVM
@@ -85,7 +80,7 @@ object ScalingBench {
     val pairs = (1 to rounds).map { r =>
       val tN = bestOf(1, coresPer, runsPerSession, warm, job)
       val t4N = bestOf(4, coresPer, runsPerSession, warm, job)
-      System.err.println(f"[scaling] round $r: tN=$tN%.2f t4N=$t4N%.2f load=$loadavg")
+      System.err.println(f"[scaling] round $r: tN=$tN%.2f t4N=$t4N%.2f load=${Bench.loadavg}")
       (tN, t4N)
     }
     Result(pairs.map(_._1).min, pairs.map(_._2).min, pairs)
@@ -131,7 +126,7 @@ object ScalingBench {
         s => Bench.pipelineJobN(s, nPipeline))).min
       println(f"""{"mode":"$mode","cores":${nExec * baseCores},""" +
         f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
-        f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"$loadavg"}""")
+        f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"${Bench.loadavg}"}""")
       return
     }
     report("tile_assign", nAssign,

@@ -12,19 +12,22 @@ import org.apache.spark.sql.SparkSession
   * best-of-3, shuffle overdecomposed 4× the cluster's cores. */
 object SubmitBench {
 
-  private def loadavg: String =
-    scala.util.Try(java.nio.file.Files.readString(
-      java.nio.file.Paths.get("/proc/loadavg")).split(" ").take(1).mkString)
-      .getOrElse("?")
-
   def main(args: Array[String]): Unit = {
     val nAssign = args.headOption.map(_.toLong).getOrElse(24000000L)
     val nPipeline = if (args.length > 1) args(1).toLong else 6000000L
     val builder = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-    if (!sys.props.contains("spark.master")) // bare-java fallback only
-      builder.master("local[8]").config("spark.ui.enabled", "false")
+    if (!sys.props.contains("spark.master")) {
+      // bare-java fallback only: same conventions as Bench/ScalingBench
+      // (cores from SPARK_GRAFT_CPUS, tmpfs shuffle) so ad-hoc runs are
+      // comparable to the documented protocol
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      builder.master(s"local[$cpus]").config("spark.ui.enabled", "false")
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // cluster width from the MASTER STRING, not defaultParallelism:
@@ -39,8 +42,11 @@ object SubmitBench {
         spark.sparkContext.defaultParallelism
       }
     // same overdecomposition as ScalingBench (straggler smoothing;
-    // the realistic many-splits shape)
+    // the realistic many-splits shape); the bench parallelism override
+    // makes even the FIRST warm-up generate input at the cluster's real
+    // width (defaultParallelism still reads its floor at this point)
     spark.conf.set("spark.sql.shuffle.partitions", (cores * 4).toString)
+    spark.conf.set("graft.bench.parallelism", cores.toString)
     def bestOf(job: => Unit): Double = {
       job // full-size warm-up (JIT at this cluster's thread count)
       (1 to 3).map { _ => System.gc(); Bench.time(job)._2 }.min
@@ -49,7 +55,7 @@ object SubmitBench {
     val pSec = bestOf(Bench.pipelineJobN(spark, nPipeline))
     println(f"""{"master":"${spark.sparkContext.master}","cores":$cores,""" +
       f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
-      f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"$loadavg"}""")
+      f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"${Bench.loadavg}"}""")
     spark.stop()
   }
 }

@@ -115,12 +115,18 @@ object CrownJob {
     val warehouse = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
-      .config("spark.sql.session.timeZone", "UTC")
-    // never override spark-submit's --master / --conf
-    if (!sys.props.contains("spark.master"))
+    // never override the submit environment: builder options beat
+    // sys-prop-loaded conf, so EVERY default here is guarded
+    if (!sys.props.contains("spark.sql.session.timeZone"))
+      builder.config("spark.sql.session.timeZone", "UTC")
+    if (!sys.props.contains("spark.master")) {
+      // bare-java fallback only; under spark-submit the shuffle width
+      // comes from the submit conf or Spark's default + AQE coalescing
+      // (pinning it to a driver-local env var would under-decompose a
+      // big cluster)
       builder.master(s"local[$cpus]").config("spark.ui.enabled", "false")
-    if (!sys.props.contains("spark.sql.shuffle.partitions"))
-      builder.config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", cpus)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, Conf(nPages, warehouse))
