@@ -348,6 +348,24 @@ class OpsSpec extends AnyFunSuite {
     val empty = Seq(("all", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
     val ge = graft.operators.Quantiles.globalPercentiles(empty, col("v"), Seq(0.5)).head()
     assert(ge.isNullAt(0))
+
+    // NaN: all three implementations sort NaN greatest (it counts
+    // toward n and surfaces at high quantiles) — pin the agreement
+    val nan = Seq(1.0, 2.0, Double.NaN, 3.0, 4.0)
+      .map(v => ("k", java.lang.Double.valueOf(v))).toDF("k", "v")
+    val nqs = Seq(0.25, 0.5, 0.9, 1.0)
+    val nw = graft.operators.Quantiles.exactPercentiles(nan, "k", col("v"), nqs).head()
+    val ng = graft.operators.Quantiles.globalPercentiles(nan, col("v"), nqs).head()
+    val nb = nan.groupBy("k").agg(
+      expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+      expr("percentile(v, 0.9)"), expr("percentile(v, 1.0)")).head()
+    nqs.indices.foreach { i =>
+      val (w0, g0, b0) = (nw.getDouble(i + 1), ng.getDouble(i), nb.getDouble(i + 1))
+      assert(java.lang.Double.doubleToRawLongBits(w0) ===
+        java.lang.Double.doubleToRawLongBits(g0), s"NaN case q=${nqs(i)}")
+      assert(java.lang.Double.doubleToRawLongBits(w0) ===
+        java.lang.Double.doubleToRawLongBits(b0), s"NaN case vs built-in q=${nqs(i)}")
+    }
   }
 
   test("Quantiles.globalPercentiles plan: range-partitioned sort, no single-task window") {
