@@ -505,6 +505,26 @@ class RasterPathSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("strip"))
   }
 
+  test("GeoTIFF: STRIP layout fuzz — 40 random (dims, rows/strip, compression) configs round trip") {
+    import graft.tables.GeoTiffIO
+    val rnd = new scala.util.Random(1234) // seeded: deterministic corpus
+    for (c <- 1 to 40) {
+      val rows = 1 + rnd.nextInt(400)
+      val cols = 1 + rnd.nextInt(400)
+      val rps = if (rnd.nextBoolean()) -1 else 1 + rnd.nextInt(rows + 8) // > rows = one strip
+      val deflate = rnd.nextBoolean()
+      val t = RasterOps.ConfTile(region = c, tileId = c, classIdx = c % 2,
+        minX = rnd.nextInt(4096), minY = rnd.nextInt(4096), rows = rows, cols = cols,
+        gsd = 1 + rnd.nextInt(16),
+        data = Array.tabulate(rows * cols)(i => ((i * 131 + c * 17) % 256).toByte))
+      val back = GeoTiffIO.parse(stripTiff(t, rps, deflate))
+      assert(back.rows === rows && back.cols === cols && back.gsd === t.gsd,
+        s"cfg$c rows=$rows cols=$cols rps=$rps deflate=$deflate")
+      assert(back.minX === t.minX && back.minY === t.minY, s"cfg$c georef")
+      assert(back.data sameElements t.data, s"cfg$c pixels rps=$rps deflate=$deflate")
+    }
+  }
+
   test("GeoTIFF: BigTIFF guard — oversized write fails loud before touching pixel data") {
     // a raster whose padded payload would exceed the classic-TIFF /
     // single-buffer bound must be rejected up front (offsets would
