@@ -38,6 +38,76 @@ object SparkEntry {
        |        + CAST(z >> 32 AS HUGEINT) * $mlo) % 4294967296) * 4294967296
        |    ) % 18446744073709551616 AS UBIGINT)""".stripMargin
 
+  // --- DuckDB replicas of 32-bit JVM int arithmetic (wraparound mul,
+  // rotate-left, logical shift-right) for reproducing
+  // scala.util.hashing.MurmurHash3.stringHash bit-exactly: values live
+  // in BIGINT restricted to [0, 2^32); products detour through HUGEINT
+  // (DuckDB errors on integer overflow instead of wrapping). `//` on a
+  // non-negative BIGINT is `>>>`.
+  private def u32Mul(a: String, m: Long) =
+    s"CAST((CAST($a AS HUGEINT) * $m) % 4294967296 AS BIGINT)"
+  private def rotl32(x: String, r: Int) =
+    s"((${u32Mul(x, 1L << r)}) | (($x) // ${1L << (32 - r)}))"
+  private def murMixLast(h: String, k: String) =
+    s"xor($h, ${u32Mul(rotl32(u32Mul(k, 0xcc9e2d51L), 15), 0x1b873593L)})"
+  private def murMix(h: String, k: String) =
+    s"CAST((CAST(${rotl32(murMixLast(h, k), 13)} AS HUGEINT) * 5 + ${0xe6546b64L}) % 4294967296 AS BIGINT)"
+
+  /** DuckDB replica of [[operators.Dedup.simhash]]'s whole hash chain —
+    * `mix64(MurmurHash3.stringHash(token, 42).toLong)` per
+    * space-separated token, then the 64-bit ±1 bit-vote fingerprint.
+    * stringHash's char-pair loop (UTF-16 code units, 2 per mix step,
+    * odd tail through mixLast, length-xor'd avalanche) runs as a
+    * `list_reduce` over the pair list with the seed prepended —
+    * documents text is ASCII-only so `unicode(char)` = the UTF-16 unit.
+    * `.toLong`'s sign extension is the `+ 0xFFFFFFFF00000000` branch;
+    * the splitmix64 finalizer reuses the same 32-bit-half mod-2^64
+    * staging as [[crownsSynthSql]]. Emits CTE `sig(doc_id, sh)` with
+    * one UBIGINT fingerprint per document (empty/whitespace-only docs
+    * fall back to signature 0 like the engine's all-zero vote array). */
+  private def simhashSigCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, tok, count(*) AS n FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |                                      t -> len(t) > 0)) AS tok
+       |    FROM documents) GROUP BY doc_id, tok),
+       |cs AS (SELECT tok, list_transform(string_split(tok, ''), c -> unicode(c)) AS c,
+       |              len(tok) AS L FROM (SELECT DISTINCT tok FROM tk)),
+       |prs AS (SELECT tok, L, c,
+       |  list_transform(range(L // 2), p -> c[2*p + 1] * 65536 + c[2*p + 2]) AS pr FROM cs),
+       |body AS (SELECT tok, L, c,
+       |  list_reduce(list_prepend(CAST(42 AS BIGINT), pr),
+       |              (h, k) -> ${murMix("h", "k")}) AS hb
+       |  FROM prs),
+       |tl AS (SELECT tok, L,
+       |  CASE WHEN L % 2 = 1 THEN ${murMixLast("hb", "c[L]")} ELSE hb END AS ht FROM body),
+       |av1 AS (SELECT tok, ${u32Mul("xor(xor(ht, L), xor(ht, L) // 65536)", 0x85ebca6bL)} AS h FROM tl),
+       |av2 AS (SELECT tok, ${u32Mul("xor(h, h // 8192)", 0xc2b2ae35L)} AS h FROM av1),
+       |se AS (SELECT tok, CAST(CASE WHEN xor(h, h // 65536) >= 2147483648
+       |         THEN CAST(xor(h, h // 65536) AS HUGEINT) + 18446744069414584320
+       |         ELSE CAST(xor(h, h // 65536) AS HUGEINT) END AS UBIGINT) AS z FROM av2),
+       |sm0 AS (SELECT tok, CAST((CAST(z AS HUGEINT) + 11400714819323198485)
+       |        % 18446744073709551616 AS UBIGINT) AS z FROM se),
+       |sx1 AS (SELECT tok, xor(z, z >> 30) AS z FROM sm0),
+       |sm1 AS (SELECT tok, ${mulMod64(484763065L, 3210233709L)} AS z FROM sx1),
+       |sx2 AS (SELECT tok, xor(z, z >> 27) AS z FROM sm1),
+       |sm2 AS (SELECT tok, ${mulMod64(321982955L, 2496678331L)} AS z FROM sx2),
+       |th AS (SELECT tok, xor(z, z >> 31) AS h64 FROM sm2),
+       |votes AS (
+       |  SELECT t.doc_id, b.b,
+       |         sum(CASE WHEN (h.h64 >> b.b) & 1 = 1 THEN t.n ELSE -t.n END) AS v
+       |  FROM tk t JOIN th h USING (tok),
+       |       (SELECT unnest(generate_series(0, 63)) AS b) b
+       |  GROUP BY t.doc_id, b.b),
+       |-- power(2.0, b) is exact for b <= 63 (powers of two are exact doubles)
+       |sig0 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2.0, b) AS HUGEINT)
+       |                       ELSE 0 END) AS UBIGINT) AS sh
+       |  FROM votes GROUP BY doc_id),
+       |sig AS (SELECT d.doc_id, coalesce(s.sh, CAST(0 AS UBIGINT)) AS sh
+       |        FROM documents d LEFT JOIN sig0 s USING (doc_id))""".stripMargin
+
   /** DuckDB replica of the crown-synthesis chain (CrownOps.mix64 /
     * synthPoly / synthClass / synthScore / capPerTile inputs): the
     * splitmix64 hash runs in exact mod-2^64 UBIGINT/HUGEINT
@@ -420,9 +490,15 @@ object SparkEntry {
 
     // --- per-tile detection cap (W4)
     "crowns_capped" -> ((s, dir) => {
+      // sum_kept_ids / min_score_nano make the check order-SENSITIVE: a
+      // divergence in capPerTile's (score DESC, crownId) window order
+      // changes WHICH rows survive the cut and flips these aggregates,
+      // whereas n_kept = min(256, group size) alone would still pass
       CrownOps.capPerTile(region0Crowns(s, dir), cap = 256).toDF()
         .groupBy(col("region"), col("tileId").as("tile_id"))
-        .agg(count(lit(1)).as("n_kept"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("crownId")).as("sum_kept_ids"),
+          min(floor(col("score") * lit(1e9) + lit(0.5)).cast("long")).as("min_score_nano"))
     }),
 
     // --- semantic raster path (rows-only: raster kernels)
@@ -637,11 +713,15 @@ object SparkEntry {
          |FROM crowns""".stripMargin,
     // the W4 cap: scores are bit-identical between engine and replica
     // (no trig in the chain), so the (score DESC, crown_id) window
-    // order — and therefore the kept set — matches exactly
+    // order matches; sum_kept_ids + min_score_nano verify the kept SET
+    // itself (order-sensitive at the rn=256 cut), not just group counts
     "crowns_capped" ->
       s"""${crownsSynthSql("WHERE i < 6000")}
-         |SELECT region, tile_id, count(*) AS n_kept FROM (
-         |  SELECT region, tile_id,
+         |SELECT region, tile_id, count(*) AS n_kept,
+         |  CAST(sum(crown_id) AS BIGINT) AS sum_kept_ids,
+         |  min(CAST(floor(score * 1e9 + 0.5) AS BIGINT)) AS min_score_nano
+         |FROM (
+         |  SELECT region, tile_id, crown_id, score,
          |    row_number() OVER (PARTITION BY region, tile_id
          |      ORDER BY score DESC, crown_id) AS rn
          |  FROM crowns)
@@ -779,6 +859,16 @@ object SparkEntry {
         |  CAST(floor(1000 * common / (la.s + lb.s - common)) AS BIGINT) AS jac_milli
         |FROM pairs JOIN sz la ON a = la.doc_id JOIN sz lb ON b = lb.doc_id
         |WHERE floor(1000 * common / (la.s + lb.s - common)) >= 100""".stripMargin,
+    // brute-force all-pairs over the replicated fingerprints: the
+    // engine's 4-chunk pigeonhole candidate join is EXHAUSTIVE for
+    // hamming <= 3 (any such pair shares an untouched 16-bit chunk),
+    // so the candidate structure drops out of the oracle
+    "dedup_simhash" ->
+      s"""WITH $simhashSigCtes
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |       CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+         |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin,
     "sim_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

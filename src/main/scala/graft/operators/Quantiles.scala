@@ -102,11 +102,17 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
     val spark = df.sparkSession
     import spark.implicits._
-    // localCheckpoint (repo convention, not persist): the sorted rows
-    // feed two jobs — partition counts, then rank plucks — and must
-    // not recompute the sort in between. Partition layout and
-    // within-partition (sorted) order survive the checkpoint.
-    val sorted = globalSorted(df, value).as[(Int, Double)].localCheckpoint()
+    // persist (NOT localCheckpoint): the sorted rows feed two jobs —
+    // partition counts, then rank plucks — and must not recompute the
+    // sort in between. Partition layout and within-partition (sorted)
+    // order survive the cache, and CacheManager-tracked persistence is
+    // what lets the finally-block unpersist actually free the blocks
+    // (a localCheckpoint persists its RDD outside CacheManager, so
+    // Dataset.unpersist was a no-op on it — measured as one leaked
+    // persistent RDD per call).
+    val sorted = globalSorted(df, value).as[(Int, Double)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val counts = sorted.groupBy("_pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -146,5 +152,12 @@ object Quantiles {
       org.apache.spark.sql.types.StructType(qs.indices.map(i =>
         org.apache.spark.sql.types.StructField(s"q$i",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
+    } finally {
+      // the cached blocks are no longer needed once the bracketing
+      // ranks are collected; without this, repeated calls in a
+      // long-lived session accumulate storage memory until
+      // ContextCleaner happens to GC the RDD
+      sorted.unpersist()
+    }
   }
 }
