@@ -102,31 +102,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.toSeq === batchKeepers.toSeq)
   }
 
-  test("streaming dedup TTL: expired state re-admits a hash") {
+  /** The three-batch TTL scenario, shared by the default-provider and
+    * RocksDB-provider tests: sight a hash, drop its duplicate within
+    * the TTL horizon, then let the TTL lapse mid-stream and check the
+    * next sighting is re-admitted fresh.
+    *
+    * NOTE: processAllAvailable() CANNOT be used here — with
+    * ProcessingTimeTimeout armed, the stateful operator's
+    * shouldRunAnotherBatch is always true (a later batch may need to
+    * fire evictions), so the engine never raises the no-new-data flag
+    * that call waits on. The engine instead runs micro-batches
+    * continuously; the scenario polls the sink with a deadline.
+    *
+    * ttlMs should be generous — the within-horizon check requires the
+    * duplicate's batch to process within ttlMs of the first sighting,
+    * so it must absorb multi-second GC/JIT/commit stalls on a loaded
+    * host (and a stall that still exceeds it downgrades that one
+    * assertion to an info note instead of a flake). */
+  private def ttlScenario(queryName: String, ttlMs: Long, triggerMs: Long): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
-    // generous TTL: the within-horizon check below requires the
-    // duplicate's batch to process within ttlMs of the first sighting —
-    // batches run every 200 ms, so 5 s absorbs multi-second GC/JIT
-    // stalls on a loaded host without making the test flaky
-    val ttlMs = 5000L
-    // NOTE: processAllAvailable() CANNOT be used here — with
-    // ProcessingTimeTimeout armed, the stateful operator's
-    // shouldRunAnotherBatch is always true (a later batch may need to
-    // fire evictions), so the engine never raises the no-new-data flag
-    // that call waits on. The engine instead runs micro-batches
-    // continuously; the test polls the sink with a deadline.
     val q = StreamingIngest.streamingDedup(docs, ttlMs)
       .toDF("h", "keeper")
-      .writeStream.format("memory").queryName("stream_dedup_ttl")
+      .writeStream.format("memory").queryName(queryName)
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .start()
     try {
       def keepers() =
-        spark.sql("SELECT keeper FROM stream_dedup_ttl").collect().map(_.getLong(0)).sorted.toSeq
+        spark.sql(s"SELECT keeper FROM $queryName").collect().map(_.getLong(0)).sorted.toSeq
       def awaitKeepers(expect: Seq[Long], why: String): Unit = {
         val deadline = System.currentTimeMillis + 60000
         while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(100)
@@ -134,11 +140,30 @@ class StreamingSpec extends AnyFunSuite {
       }
       mem.addData((1L, "dup text"))
       awaitKeepers(Seq(1L), "first sighting emits")
+      // tFirst is AFTER the first sighting's state write (we only
+      // observe the sink later), so (now - tFirst) underestimates the
+      // true state age — if even the underestimate exceeds ttlMs, the
+      // hash may have been legitimately evicted before doc 5's batch
+      val tFirst = System.currentTimeMillis
       // within the TTL horizon the duplicate is still dropped: wait until
       // the duplicate's batch is fully processed (the marker doc from the
       // SAME addData call proves it), then check nothing extra appeared
       mem.addData((5L, "dup text"), (50L, "marker text"))
-      awaitKeepers(Seq(1L, 50L), "duplicate within TTL horizon is dropped")
+      val markerDeadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < markerDeadline && !keepers().contains(50L))
+        Thread.sleep(100)
+      val withinHorizon = keepers()
+      val stall = System.currentTimeMillis - tFirst
+      if (withinHorizon == Seq(1L, 5L, 50L) && stall > ttlMs)
+        // a >ttl host stall between the two batches evicted the hash
+        // first and re-admitted doc 5 — correct TTL behavior, just not
+        // the within-horizon scenario this assertion targets; don't
+        // fail the suite for host scheduling (the drop path is still
+        // exercised by the non-TTL dedup tests above)
+        info(s"host stalled ${stall}ms > ttl ${ttlMs}ms before doc 5's batch — " +
+          "within-horizon drop not observable this run, skipping that assertion")
+      else
+        assert(withinHorizon === Seq(1L, 50L), "duplicate within TTL horizon is dropped")
       // let the TTL lapse; the engine's continuous timeout batches evict
       // the idle hash, and the next sighting is re-admitted fresh
       Thread.sleep(ttlMs + 1500)
@@ -148,15 +173,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop() // TTL-armed queries batch FOREVER — never leak one
   }
 
-  test("streaming dedup runs on the RocksDB state store provider (scale conf smoke)") {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // The documented 100-TB configuration: out-of-heap RocksDB state
-    // (provider ships in spark-sql) + changelog checkpointing so a
-    // batch commit uploads an incremental log, not a full snapshot
-    // zip. One micro-batch only — the provider's per-batch commit is
-    // heavyweight on this sandbox FS, and the TTL state-machine logic
-    // is already covered store-independently above.
+  test("streaming dedup TTL: expired state re-admits a hash") {
+    ttlScenario("stream_dedup_ttl", ttlMs = 5000L, triggerMs = 200L)
+  }
+
+  /** Runs `body` under the documented 100-TB state configuration:
+    * out-of-heap RocksDB state (provider ships in spark-sql) +
+    * changelog checkpointing so a batch commit uploads an incremental
+    * log, not a full snapshot zip; 2 shuffle partitions because the
+    * provider's per-batch commit is heavyweight on this sandbox FS
+    * (state store count fixes at query start). Restores the previous
+    * conf afterwards. */
+  private def withRocksDbState(body: => Unit): Unit = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val partsKey = "spark.sql.shuffle.partitions"
     val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -165,9 +193,26 @@ class StreamingSpec extends AnyFunSuite {
     val prevChangelog = spark.conf.getOption(changelogKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(partsKey, "2") // state store count fixes at query start
+    spark.conf.set(partsKey, "2")
     spark.conf.set(changelogKey, "true")
-    try {
+    try body
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      spark.conf.set(partsKey, prevParts)
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None => spark.conf.unset(changelogKey)
+      }
+    }
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider (scale conf smoke)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDbState {
       val mem = MemoryStream[(Long, String)]
       val q = StreamingIngest.streamingDedup(mem.toDF().toDF("doc_id", "text"))
         .toDF("h", "keeper")
@@ -180,16 +225,21 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.sql("SELECT keeper FROM stream_dedup_rocks")
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(out === Seq(1L, 3L), "dedup semantics identical on RocksDB state")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
-      spark.conf.set(partsKey, prevParts)
-      prevChangelog match {
-        case Some(v) => spark.conf.set(changelogKey, v)
-        case None => spark.conf.unset(changelogKey)
-      }
+    }
+  }
+
+  test("streaming dedup TTL drives >= 3 batches with mid-stream expiry on RocksDB") {
+    // the full TTL state machine — arm, re-arm on duplicate, evict,
+    // re-admit — on the RocksDB provider with changelog checkpointing:
+    // each scenario step is its own micro-batch (plus continuous
+    // timeout batches between them), so this exercises multi-batch
+    // RocksDB commits, not just the one-batch smoke above. Longer TTL
+    // and trigger than the default-provider run: per-batch RocksDB
+    // commits on this sandbox FS can stall hundreds of ms, and the
+    // within-horizon assertion needs the duplicate's batch inside the
+    // TTL window.
+    withRocksDbState {
+      ttlScenario("stream_dedup_ttl_rocks", ttlMs = 8000L, triggerMs = 500L)
     }
   }
 
