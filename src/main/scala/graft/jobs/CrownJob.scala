@@ -104,6 +104,31 @@ object CrownJob {
   def mergedResult(spark: SparkSession, warehouse: String): Option[DataFrame] =
     IcebergLite.read(spark, warehouse, StageMerged)
 
+  /** Operator thresholds from the submit surface — the Spark analogue
+    * of the reference's Hydra config tree (docs/configuration.md):
+    * `--conf spark.graft.crown.nmsIou=0.6` etc. override the Conf
+    * defaults without a rebuild (spark-submit only forwards `spark.`-
+    * prefixed keys to the session conf, hence the prefix). Unset keys
+    * keep the defaults; a malformed value fails loudly at startup
+    * rather than silently running with a default threshold. */
+  def confFrom(spark: SparkSession, nPages: Long, warehouse: String): Conf = {
+    def knob(k: String) = spark.conf.getOption(s"spark.graft.crown.$k")
+    def d(k: String, dflt: Double) = knob(k).map { v =>
+      require(v.nonEmpty && v.toDoubleOption.isDefined,
+        s"spark.graft.crown.$k must be a double, got '$v'")
+      v.toDouble
+    }.getOrElse(dflt)
+    Conf(nPages, warehouse,
+      nmsIou = d("nmsIou", 0.7),
+      confThr = d("confThr", 0.3),
+      mergeIou = d("mergeIou", 0.5),
+      emitGeom = knob("emitGeom").map { v =>
+        require(v == "true" || v == "false",
+          s"spark.graft.crown.emitGeom must be true|false, got '$v'")
+        v.toBoolean
+      }.getOrElse(true))
+  }
+
   /** spark-submit entry: `spark-submit --class graft.jobs.CrownJob
     * <jar> [nPages] [warehouse]`. The master and parallelism knobs are
     * taken from the SUBMIT environment when present (spark-submit sets
@@ -129,7 +154,7 @@ object CrownJob {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, Conf(nPages, warehouse))
+    run(spark, confFrom(spark, nPages, warehouse))
     println(s"merged rows: ${mergedResult(spark, warehouse).map(_.count()).getOrElse(0L)}")
     spark.stop()
   }

@@ -82,6 +82,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(IcebergLite.committedKeys(spark, wh, CrownJob.StageStats).get.count() === 2)
   }
 
+  test("submit-surface conf knobs drive the job's operator thresholds") {
+    // spark.graft.crown.* session conf (what --conf forwards under
+    // spark-submit) must reach the pipeline: run the same warehouse
+    // build with a punishing confThr set via conf and check the merge
+    // stage actually filtered by it (vs a default run)
+    val whDefault = java.nio.file.Files.createTempDirectory("wh_knob_d").toString
+    val whStrict = java.nio.file.Files.createTempDirectory("wh_knob_s").toString
+    val n = 2 * GeoOps.PagesPerRegion
+    val parsedDefault = CrownJob.confFrom(spark, n, whDefault)
+    assert(parsedDefault === CrownJob.Conf(n, whDefault)) // unset keys keep defaults
+    CrownJob.run(spark, parsedDefault)
+    val knobs = Seq("confThr" -> "0.8", "emitGeom" -> "false")
+    knobs.foreach { case (k, v) => spark.conf.set(s"spark.graft.crown.$k", v) }
+    try {
+      val parsed = CrownJob.confFrom(spark, n, whStrict)
+      assert(parsed.confThr === 0.8 && !parsed.emitGeom &&
+        parsed.nmsIou === 0.7) // untouched knob keeps its default
+      CrownJob.run(spark, parsed)
+      val dflt = CrownJob.mergedResult(spark, whDefault).get
+      val strict = CrownJob.mergedResult(spark, whStrict).get
+      // confThr gates merge membership, so the strict run keeps fewer
+      // crowns and every survivor's score clears the bar
+      assert(strict.count() < dflt.count())
+      assert(strict.filter(col("score") < 0.8).count() === 0L)
+      // malformed values fail loudly, not silently-default
+      spark.conf.set("spark.graft.crown.nmsIou", "high")
+      intercept[IllegalArgumentException](CrownJob.confFrom(spark, n, whStrict))
+    } finally {
+      (knobs.map(_._1) :+ "nmsIou").foreach(k =>
+        spark.conf.unset(s"spark.graft.crown.$k"))
+    }
+  }
+
   test("fused nmsMerge equals nms-then-merge") {
     val ds = crownsFor(2000)
     val sep = CrownOps.merge(spark, CrownOps.nms(spark, ds, 0.7), 0.3, 0.5).collect()
