@@ -106,9 +106,10 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"), col("cos_micro"))
   }
 
-  /** Nearest-centroid assignment (squared L2) — the k-means/IVF inner
-    * kernel. Centroids ride in the UDF closure (tiny: k × dim). */
-  private def nearestCentroidUdf(cents: Array[Array[Double]]) = udf((e: Seq[Float]) => {
+  /** Nearest-centroid pick (squared L2) — the k-means/IVF inner
+    * kernel, over the primitive float array. Ties keep the lowest
+    * cluster index (strict <). */
+  private def nearestCentroid(e: Array[Float], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -121,7 +122,21 @@ object Similarity {
       c += 1
     }
     best
-  })
+  }
+
+  /** (vec_id, embedding, cluster) via a typed mapPartitions over the
+    * primitive float arrays. This replaced a Scala UDF: the UDF
+    * converter materialized a boxed Seq[Float] per row per Lloyd
+    * iteration, where the Array[Float] encoder stays primitive end to
+    * end. Centroids ride in the closure (tiny: k × dim). */
+  private def assignClusters(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) => (id, e, nearestCentroid(e, cents)) })
+      .toDF("vec_id", "embedding", "cluster")
+  }
 
   /** Deterministic Lloyd k-means over the embedding column (the IVF
     * coarse quantizer): centroids init = the first k vectors (stable),
@@ -148,7 +163,7 @@ object Similarity {
     require(centroids.nonEmpty, "kmeans needs a non-empty embedding table")
     var it = 0
     while (it < iters) {
-      val assigned = e.withColumn("cluster", nearestCentroidUdf(centroids)(col("embedding")))
+      val assigned = assignClusters(e, centroids)
       val upd = assigned
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
@@ -160,7 +175,7 @@ object Similarity {
       it += 1
     }
     e.unpersist()
-    (emb.withColumn("cluster", nearestCentroidUdf(centroids)(col("embedding")))
+    (assignClusters(emb, centroids)
       .select(col("vec_id"), col("cluster")), centroids)
   }
 
@@ -176,8 +191,7 @@ object Similarity {
     // deployment commits this through IcebergLite instead). The
     // previous emb⨝assignment join re-ran the assignment UDF over the
     // corpus a second time.
-    val withCluster = emb
-      .withColumn("cluster", nearestCentroidUdf(cents)(col("embedding")))
+    val withCluster = assignClusters(emb, cents)
       .localCheckpoint()
     // empty clusters keep a stale (seed) centroid near real data —
     // replace with an unreachable sentinel so probes never pick them
