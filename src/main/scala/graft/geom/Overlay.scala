@@ -28,11 +28,18 @@ import scala.collection.mutable
   * parity of its rings, and a self-intersecting ring denotes its
   * even-odd interior.
   *
-  * Scale notes: the overlay is O(E²) in edge count — it is a per-group
-  * LOCAL kernel (run inside flatMapGroups on bounded region×class
-  * groups, like every geometry kernel here), not a distributed
-  * operator. Classification resolution is ~1e-8 of the coordinate
-  * magnitude; geometry thinner than that is beyond a double overlay.
+  * Scale notes: the overlay is near-linear for spread-out geometry —
+  * intersection finding runs on a uniform bbox grid (O(E + K) for K
+  * candidate pairs; degenerates to the exact O(E²) all-pairs scan only
+  * when everything shares a cell) and boundary classification uses a
+  * y-bucketed crossing index per group instead of a full ring scan per
+  * sample. Both accelerations are bit-identical to the naive loops
+  * (same pair arithmetic in the same order; same crossing test, which
+  * is XOR-commutative). It remains a per-group LOCAL kernel (run
+  * inside flatMapGroups on bounded region×class groups, like every
+  * geometry kernel here), not a distributed operator. Classification
+  * resolution is ~1e-8 of the coordinate magnitude; geometry thinner
+  * than that is beyond a double overlay.
   */
 object Overlay {
 
@@ -83,6 +90,81 @@ object Overlay {
 
   // -------------------------------------------------------------------
 
+  /** y-bucketed crossing index over one even-odd ring group:
+    * `parity(px, py)` reproduces [[parityInside]] bit-exactly. Group
+    * parity = XOR over rings of [[Geom.containsPoint]] = XOR over ALL
+    * the group's edges of the ray-crossing test, which is order-free,
+    * so only the edges that can straddle the query's y (from a bucket
+    * over the edge y-intervals) need evaluating — with the EXACT
+    * current-vertex/previous-vertex operand roles of containsPoint so
+    * the float arithmetic matches. Horizontal edges (yi == yj) never
+    * pass the straddle test and are not indexed; rings under 3
+    * vertices are skipped like parityInside does. */
+  private final class GroupIndex(group: Seq[Array[Double]]) {
+    private val xiA = mutable.ArrayBuffer.empty[Double]
+    private val yiA = mutable.ArrayBuffer.empty[Double]
+    private val xjA = mutable.ArrayBuffer.empty[Double]
+    private val yjA = mutable.ArrayBuffer.empty[Double]
+    group.foreach { r =>
+      if (r.length >= 6) {
+        val n = r.length / 2
+        var i = 0
+        var j = n - 1
+        while (i < n) {
+          val yi = r(2 * i + 1); val yj = r(2 * j + 1)
+          if (yi != yj) {
+            xiA += r(2 * i); yiA += yi
+            xjA += r(2 * j); yjA += yj
+          }
+          j = i
+          i += 1
+        }
+      }
+    }
+    private val m = xiA.length
+    private val (yMin, yMax) = {
+      var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
+      var e = 0
+      while (e < m) {
+        lo = math.min(lo, math.min(yiA(e), yjA(e)))
+        hi = math.max(hi, math.max(yiA(e), yjA(e)))
+        e += 1
+      }
+      (lo, hi)
+    }
+    private val nb = math.max(1, math.min(m, 256))
+    private val bh = if (yMax > yMin) (yMax - yMin) / nb else 1.0
+    private def bucketOf(y: Double): Int =
+      math.min(nb - 1, math.max(0, ((y - yMin) / bh).toInt))
+    private val buckets: Array[Array[Int]] = {
+      val bs = Array.fill(nb)(mutable.ArrayBuffer.empty[Int])
+      var e = 0
+      while (e < m) {
+        var b = bucketOf(math.min(yiA(e), yjA(e)))
+        val b1 = bucketOf(math.max(yiA(e), yjA(e)))
+        while (b <= b1) { bs(b) += e; b += 1 }
+        e += 1
+      }
+      bs.map(_.toArray)
+    }
+
+    def parity(px: Double, py: Double): Boolean = {
+      if (m == 0 || py < yMin || py > yMax) return false
+      var odd = false
+      val ids = buckets(bucketOf(py))
+      var k = 0
+      while (k < ids.length) {
+        val e = ids(k)
+        val xi = xiA(e); val yi = yiA(e)
+        val xj = xjA(e); val yj = yjA(e)
+        if (((yi > py) != (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) odd = !odd
+        k += 1
+      }
+      odd
+    }
+  }
+
   /** The overlay core. `groups(i)` is one even-odd ring group;
     * `keep(cov)` decides membership of a point covered by the groups
     * flagged in `cov`. Returns the traced boundary rings of the kept
@@ -113,13 +195,86 @@ object Overlay {
     if (nE == 0) return Seq.empty
     val weldEps = 1e-9 * scale
 
-    // ---- 2. pairwise intersections → split params per edge
+    // ---- 2. pairwise intersections → split params per edge.
+    // Candidate pruning: a pair can only contribute a split when their
+    // weldEps-expanded bboxes overlap — every split point the branches
+    // below emit lies within weldEps of BOTH segments (non-parallel:
+    // t,u inside [-tol, 1+tol] puts the shared point that close to
+    // each span; collinear: each emitted point is an endpoint of one
+    // edge projected inside the other's span). A uniform grid over the
+    // expanded bboxes therefore enumerates a superset of contributing
+    // pairs, and the surviving (i, j) pairs run the EXACT original
+    // pair arithmetic in the exact original ascending order, so the
+    // split sets — and every downstream weld id and traced ring — are
+    // bit-identical to the all-pairs loop (OverlaySpec asserts this
+    // on randomized inputs). All-in-one-cell degenerates back to the
+    // old O(E²) scan, never worse.
+    val margin = 2 * weldEps
+    val eMinX = new Array[Double](nE); val eMaxX = new Array[Double](nE)
+    val eMinY = new Array[Double](nE); val eMaxY = new Array[Double](nE)
+    var sumW = 0.0; var sumH = 0.0
+    var k0 = 0
+    while (k0 < nE) {
+      eMinX(k0) = math.min(ax(k0), bx(k0)) - margin
+      eMaxX(k0) = math.max(ax(k0), bx(k0)) + margin
+      eMinY(k0) = math.min(ay(k0), by(k0)) - margin
+      eMaxY(k0) = math.max(ay(k0), by(k0)) + margin
+      sumW += eMaxX(k0) - eMinX(k0); sumH += eMaxY(k0) - eMinY(k0)
+      k0 += 1
+    }
+    // cell ~ the mean expanded-bbox extent: an average edge covers
+    // O(1) cells, and a cell's occupancy tracks local edge density
+    val cellSz = math.max(math.max(sumW, sumH) / nE, 16 * weldEps)
+    val grid = new mutable.HashMap[(Long, Long), mutable.ArrayBuffer[Int]]()
+    k0 = 0
+    while (k0 < nE) {
+      var cx = math.floor(eMinX(k0) / cellSz).toLong
+      val cxMax = math.floor(eMaxX(k0) / cellSz).toLong
+      while (cx <= cxMax) {
+        var cy = math.floor(eMinY(k0) / cellSz).toLong
+        val cyMax = math.floor(eMaxY(k0) / cellSz).toLong
+        while (cy <= cyMax) {
+          grid.getOrElseUpdate((cx, cy), mutable.ArrayBuffer.empty) += k0
+          cy += 1
+        }
+        cx += 1
+      }
+      k0 += 1
+    }
+    val stamp = Array.fill(nE)(-1) // per-i dedupe of multi-cell candidates
+    val cand = mutable.ArrayBuffer.empty[Int]
     val splits = Array.fill(nE)(mutable.ArrayBuffer.empty[(Double, Double, Double)])
     var i = 0
     while (i < nE) {
       val rX = bx(i) - ax(i); val rY = by(i) - ay(i)
-      var j = i + 1
-      while (j < nE) {
+      cand.clear()
+      var cx = math.floor(eMinX(i) / cellSz).toLong
+      val cxMax = math.floor(eMaxX(i) / cellSz).toLong
+      while (cx <= cxMax) {
+        var cy = math.floor(eMinY(i) / cellSz).toLong
+        val cyMax = math.floor(eMaxY(i) / cellSz).toLong
+        while (cy <= cyMax) {
+          grid.get((cx, cy)).foreach { ids =>
+            var k = 0
+            while (k < ids.length) {
+              val j = ids(k)
+              if (j > i && stamp(j) != i) {
+                stamp(j) = i
+                if (eMinX(i) <= eMaxX(j) && eMinX(j) <= eMaxX(i) &&
+                    eMinY(i) <= eMaxY(j) && eMinY(j) <= eMaxY(i)) cand += j
+              }
+              k += 1
+            }
+          }
+          cy += 1
+        }
+        cx += 1
+      }
+      val candArr = cand.toArray
+      java.util.Arrays.sort(candArr) // original ascending-j visit order
+      var ci = 0
+      while (ci < candArr.length) {
+        val j = candArr(ci)
         val sX = bx(j) - ax(j); val sY = by(j) - ay(j)
         val qpX = ax(j) - ax(i); val qpY = ay(j) - ay(i)
         val d = rX * sY - rY * sX
@@ -155,7 +310,7 @@ object Overlay {
           onI(ax(j), ay(j)); onI(bx(j), by(j))
           onJ(ax(i), ay(i)); onJ(bx(i), by(i))
         }
-        j += 1
+        ci += 1
       }
       i += 1
     }
@@ -205,12 +360,19 @@ object Overlay {
       i += 1
     }
 
-    // ---- 5. classify: sample coverage just left/right of midpoints
+    // ---- 5. classify: sample coverage just left/right of midpoints.
+    // Indexed parity: one GroupIndex per group replaces the
+    // parityInside full-ring scan per sample — O(bucket) instead of
+    // O(group edges) per query, bit-identical result (the index XORs
+    // the SAME per-edge crossing test over a superset of the edges
+    // that can straddle the query's y; non-straddling extras
+    // contribute nothing, and XOR is order-free).
     val delta = 1e-8 * scale
+    val gIdx = groups.map(new GroupIndex(_))
     val cov = new Array[Boolean](groups.length)
     def keptAt(px: Double, py: Double): Boolean = {
       var g = 0
-      while (g < groups.length) { cov(g) = parityInside(groups(g), px, py); g += 1 }
+      while (g < groups.length) { cov(g) = gIdx(g).parity(px, py); g += 1 }
       keep(cov)
     }
     // directed boundary fragments, interior on the left

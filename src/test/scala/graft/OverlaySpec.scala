@@ -146,6 +146,26 @@ class OverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("property: many-box integer union area equals exact cell counting") {
+    // the geo_union_area workload shape at per-call scale (hundreds of
+    // rings in one overlay) — drives the grid candidate pruning and
+    // the bucketed parity index hard, against an independent exact
+    // answer: integer boxes cover an exactly countable set of unit
+    // cells, and the traced signed-area sum must equal that count
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      val boxes = (0 until 120).map { _ =>
+        (rnd.nextInt(24), rnd.nextInt(24), 2 + rnd.nextInt(7), 2 + rnd.nextInt(5))
+      }
+      val cells = boxes.flatMap { case (x0, y0, w, h) =>
+        for (a <- 0 until w; b <- 0 until h) yield (x0 + a, y0 + b)
+      }.toSet
+      val u = Overlay.union(boxes.map { case (x0, y0, w, h) =>
+        rect(x0, y0, x0 + w, y0 + h) })
+      assert(math.round(Overlay.areaOf(u)) === cells.size)
+    }
+  }
+
   test("property: union is associative (area + membership) on random triples") {
     forSamples(Gen.zip(genConvex, genConvex, genConvex), n = 40) { case (a, b, c) =>
       if (a.length >= 6 && b.length >= 6 && c.length >= 6) {
