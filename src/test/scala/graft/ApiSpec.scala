@@ -160,5 +160,29 @@ class ApiSpec extends AnyFunSuite {
     assert(rj.contains("\"number_trees\":") && rj.contains("\"canopy_cover\":[{\"region\":0,"))
     val nTrees = "\"number_trees\":(\\d+)".r.findFirstMatchIn(rj).get.group(1).toInt
     assert(nTrees === result.getTrees.count().toInt)
+    // canopy/tree cover in report.json tie back to REFERENCE semantics
+    // (processedresult.py:109-118: cover = count_nonzero(confidence
+    // mask > threshold) / num_valid_pixels), recomputed here with a
+    // plain loop over the collected mosaic pixels — independent of the
+    // distributed cover() aggregation the report used
+    val thr255 = math.round(result.threshold * 255).toInt
+    val side = graft.operators.GeoOps.TileGrid.ExtentX / result.rasterGsd
+    val validPx = side * side
+    val tiles = result.mosaic.collect()
+    def referenceCoverPpm(cls: Int): Map[Long, Long] =
+      tiles.filter(_.classIdx == cls).groupBy(_.region).map { case (rg, ts) =>
+        val nz = ts.map(_.data.count(b => (b & 0xff) > thr255).toLong).sum
+        rg -> math.floor((1000000L * nz).toDouble / validPx).toLong
+      }
+    def reported(key: String): Map[Long, Long] =
+      (s""""$key":\\[(.*?)\\]""".r.findFirstMatchIn(rj).get.group(1) match {
+        case body => "\\{\"region\":(\\d+),\"cover_ppm\":(\\d+)\\}".r
+          .findAllMatchIn(body).map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+      })
+    assert(reported("canopy_cover") === referenceCoverPpm(CrownOps.ClassCanopy),
+      "report.json canopy_cover != reference count_nonzero/num_valid recompute")
+    assert(reported("tree_cover") === referenceCoverPpm(CrownOps.ClassTree),
+      "report.json tree_cover != reference count_nonzero/num_valid recompute")
+    assert(reported("canopy_cover").values.forall(v => v > 0 && v < 1000000))
   }
 }
