@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** 10× DATA-scale stress for the two headline jobs at a fixed
+  * topology — the sandbox analogue of "would this plan survive a
+  * 100-TB input". Each job runs at the reference input size and at
+  * `factor`× that size in the same local[32] session shape the
+  * scaling bench uses; the artifact reports rows/sec at both sizes,
+  * the data-scaling ratio (rate_big / rate_small — fixed costs
+  * amortize, so a healthy plan holds ≳1; a knee means some stage
+  * stopped streaming), and the peak JVM heap across the big runs (a
+  * plan that buffers proportionally to input would show here long
+  * before a real cluster OOMs).
+  *
+  * Usage: runMain graft.StressBench [nAssign] [nPipeline] [factor] [runs]
+  */
+object StressBench {
+
+  /** Sum of per-pool peak heap usage since the last reset — an upper
+    * bound on concurrent heap use, good enough for the "no
+    * proportional buffering" check (footprint, not precision). */
+  private def heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  private def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def peakHeapMb(): Long =
+    heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+
+  def main(args: Array[String]): Unit = {
+    val nAssign = args.headOption.map(_.toLong).getOrElse(24000000L)
+    val nPipeline = if (args.length > 1) args(1).toLong else 6000000L
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val runs = if (args.length > 3) args(3).toInt else 2
+    val cores = 32
+    val builder = SparkSession.builder()
+      .master(s"local[$cores]")
+      // same 4× shuffle over-decomposition as the scaling bench — the
+      // realistic many-splits shape, and straggler insurance
+      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stress(job: String, small: Long,
+               run: Long => Unit): Unit = {
+      run(small) // warm-up: JIT + codegen
+      def best(n: Long): Double = (1 to runs).map { _ =>
+        System.gc()
+        Bench.time(run(n))._2
+      }.min
+      val loadBefore = Bench.loadavg
+      val sSmall = best(small)
+      val big = small * factor
+      System.gc()
+      resetPeaks()
+      val sBig = best(big)
+      val peakMb = peakHeapMb()
+      val rateSmall = (small / sSmall).toLong
+      val rateBig = (big / sBig).toLong
+      val ratio = rateBig.toDouble / rateSmall
+      println(f"""{"job":"$job","rows_small":$small,"sec_small":$sSmall%.2f,""" +
+        f""""rows_per_sec_small":$rateSmall,"rows_big":$big,"sec_big":$sBig%.2f,""" +
+        f""""rows_per_sec_big":$rateBig,"rate_ratio_big_over_small":$ratio%.3f,""" +
+        f""""peak_heap_mb_big":$peakMb,"runs":$runs,""" +
+        f""""load_start":"$loadBefore","load_end":"${Bench.loadavg}"}""")
+    }
+
+    stress("tile_assign", nAssign, n => { Bench.tileAssignJobN(spark, n); () })
+    stress("pipeline", nPipeline, n => { Bench.pipelineJobN(spark, n); () })
+    spark.stop()
+  }
+}
