@@ -149,7 +149,10 @@ object Bench {
       if (ok && sec1 > rerunAbove) {
         System.gc()
         val (ok2, sec2) = once()
-        (name, math.min(sec1, sec2), ok2, 2)
+        // the first run already produced a valid measurement; a
+        // transient rerun failure (logged by once()) must not turn a
+        // measured query into "err" or report the failed run's duration
+        (name, if (ok2) math.min(sec1, sec2) else sec1, true, 2)
       } else (name, sec1, ok, 1)
     }
     val loadEnd = loadavg

@@ -225,19 +225,36 @@ object Overlay {
     // cell ~ the mean expanded-bbox extent: an average edge covers
     // O(1) cells, and a cell's occupancy tracks local edge density
     val cellSz = math.max(math.max(sumW, sumH) / nE, 16 * weldEps)
+    // memory guard: one edge spanning the domain among many short ones
+    // would otherwise register in O((w/cell)·(h/cell)) cells — up to
+    // O(E²) map entries for O(E) input. Edges covering more than
+    // MaxCells cells skip the grid entirely and go on an `outliers`
+    // list that is bbox-checked against EVERY i (they are few by
+    // construction, so this stays O(E·|outliers|) time and O(E) space);
+    // candidate SETS are unchanged, only where a pair is discovered.
+    val MaxCells = 64L
     val grid = new mutable.HashMap[(Long, Long), mutable.ArrayBuffer[Int]]()
+    val outliers = mutable.ArrayBuffer.empty[Int]
+    val isOutlier = new Array[Boolean](nE)
     k0 = 0
     while (k0 < nE) {
-      var cx = math.floor(eMinX(k0) / cellSz).toLong
+      val cx0 = math.floor(eMinX(k0) / cellSz).toLong
       val cxMax = math.floor(eMaxX(k0) / cellSz).toLong
-      while (cx <= cxMax) {
-        var cy = math.floor(eMinY(k0) / cellSz).toLong
-        val cyMax = math.floor(eMaxY(k0) / cellSz).toLong
-        while (cy <= cyMax) {
-          grid.getOrElseUpdate((cx, cy), mutable.ArrayBuffer.empty) += k0
-          cy += 1
+      val cy0 = math.floor(eMinY(k0) / cellSz).toLong
+      val cyMax = math.floor(eMaxY(k0) / cellSz).toLong
+      if ((cxMax - cx0 + 1) * (cyMax - cy0 + 1) > MaxCells) {
+        outliers += k0
+        isOutlier(k0) = true
+      } else {
+        var cx = cx0
+        while (cx <= cxMax) {
+          var cy = cy0
+          while (cy <= cyMax) {
+            grid.getOrElseUpdate((cx, cy), mutable.ArrayBuffer.empty) += k0
+            cy += 1
+          }
+          cx += 1
         }
-        cx += 1
       }
       k0 += 1
     }
@@ -248,27 +265,35 @@ object Overlay {
     while (i < nE) {
       val rX = bx(i) - ax(i); val rY = by(i) - ay(i)
       cand.clear()
-      var cx = math.floor(eMinX(i) / cellSz).toLong
-      val cxMax = math.floor(eMaxX(i) / cellSz).toLong
-      while (cx <= cxMax) {
-        var cy = math.floor(eMinY(i) / cellSz).toLong
-        val cyMax = math.floor(eMaxY(i) / cellSz).toLong
-        while (cy <= cyMax) {
-          grid.get((cx, cy)).foreach { ids =>
-            var k = 0
-            while (k < ids.length) {
-              val j = ids(k)
-              if (j > i && stamp(j) != i) {
-                stamp(j) = i
-                if (eMinX(i) <= eMaxX(j) && eMinX(j) <= eMaxX(i) &&
-                    eMinY(i) <= eMaxY(j) && eMinY(j) <= eMaxY(i)) cand += j
-              }
-              k += 1
-            }
-          }
-          cy += 1
+      def consider(j: Int): Unit =
+        if (j > i && stamp(j) != i) {
+          stamp(j) = i
+          if (eMinX(i) <= eMaxX(j) && eMinX(j) <= eMaxX(i) &&
+              eMinY(i) <= eMaxY(j) && eMinY(j) <= eMaxY(i)) cand += j
         }
-        cx += 1
+      if (isOutlier(i)) {
+        // an outlier's own cell range is the thing we refused to walk —
+        // scan everything once instead (outliers are few)
+        var j = i + 1
+        while (j < nE) { consider(j); j += 1 }
+      } else {
+        var cx = math.floor(eMinX(i) / cellSz).toLong
+        val cxMax = math.floor(eMaxX(i) / cellSz).toLong
+        while (cx <= cxMax) {
+          var cy = math.floor(eMinY(i) / cellSz).toLong
+          val cyMax = math.floor(eMaxY(i) / cellSz).toLong
+          while (cy <= cyMax) {
+            grid.get((cx, cy)).foreach { ids =>
+              var k = 0
+              while (k < ids.length) { consider(ids(k)); k += 1 }
+            }
+            cy += 1
+          }
+          cx += 1
+        }
+        // gridless outliers are candidates of every edge
+        var oi = 0
+        while (oi < outliers.length) { consider(outliers(oi)); oi += 1 }
       }
       val candArr = cand.toArray
       java.util.Arrays.sort(candArr) // original ascending-j visit order

@@ -112,21 +112,24 @@ object CrownJob {
     * keep the defaults; a malformed value fails loudly at startup
     * rather than silently running with a default threshold. */
   def confFrom(spark: SparkSession, nPages: Long, warehouse: String): Conf = {
+    val base = Conf(nPages, warehouse) // single source of defaults
     def knob(k: String) = spark.conf.getOption(s"spark.graft.crown.$k")
     def d(k: String, dflt: Double) = knob(k).map { v =>
-      require(v.nonEmpty && v.toDoubleOption.isDefined,
-        s"spark.graft.crown.$k must be a double, got '$v'")
+      // finite-only: "NaN"/"Infinity" parse as doubles but poison every
+      // downstream threshold comparison into silently-empty output
+      require(v.toDoubleOption.exists(_.isFinite),
+        s"spark.graft.crown.$k must be a finite double, got '$v'")
       v.toDouble
     }.getOrElse(dflt)
-    Conf(nPages, warehouse,
-      nmsIou = d("nmsIou", 0.7),
-      confThr = d("confThr", 0.3),
-      mergeIou = d("mergeIou", 0.5),
+    base.copy(
+      nmsIou = d("nmsIou", base.nmsIou),
+      confThr = d("confThr", base.confThr),
+      mergeIou = d("mergeIou", base.mergeIou),
       emitGeom = knob("emitGeom").map { v =>
         require(v == "true" || v == "false",
           s"spark.graft.crown.emitGeom must be true|false, got '$v'")
         v.toBoolean
-      }.getOrElse(true))
+      }.getOrElse(base.emitGeom))
   }
 
   /** spark-submit entry: `spark-submit --class graft.jobs.CrownJob

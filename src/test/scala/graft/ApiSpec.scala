@@ -166,8 +166,10 @@ class ApiSpec extends AnyFunSuite {
     // plain loop over the collected mosaic pixels — independent of the
     // distributed cover() aggregation the report used
     val thr255 = math.round(result.threshold * 255).toInt
-    val side = graft.operators.GeoOps.TileGrid.ExtentX / result.rasterGsd
-    val validPx = side * side
+    // same truncation as cover()'s `side` so the denominators agree for
+    // any rasterGsd, divisor of the extent or not
+    val side = (graft.operators.GeoOps.TileGrid.ExtentX / result.rasterGsd).toInt
+    val validPx = side.toLong * side
     val tiles = result.mosaic.collect()
     def referenceCoverPpm(cls: Int): Map[Long, Long] =
       tiles.filter(_.classIdx == cls).groupBy(_.region).map { case (rg, ts) =>

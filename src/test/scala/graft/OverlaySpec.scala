@@ -166,6 +166,27 @@ class OverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("domain-spanning sliver among short edges: grid outlier path stays exact") {
+    // one 2000-unit-long edge next to ~unit-scale edges drives the
+    // mean-extent cell size tiny relative to the sliver — the case
+    // where naive grid insertion would allocate O(cells) entries for
+    // that edge; the outlier path must keep the SAME candidate pairs,
+    // checked here against exact integer cell counting (the second
+    // sliver crosses the box field, so outlier↔short-edge
+    // intersections are exercised, not just disjoint coexistence)
+    val rnd = new scala.util.Random(9)
+    val boxes = (0 until 150).map { _ =>
+      (rnd.nextInt(24), rnd.nextInt(24), 2 + rnd.nextInt(7), 2 + rnd.nextInt(5))
+    }
+    val slivers = Seq((0, 100, 2000, 1), (-1000, 10, 2000, 1))
+    val cells = (boxes ++ slivers).flatMap { case (x0, y0, w, h) =>
+      for (a <- 0 until w; b <- 0 until h) yield (x0 + a, y0 + b)
+    }.toSet
+    val u = Overlay.union((boxes ++ slivers).map { case (x0, y0, w, h) =>
+      rect(x0, y0, x0 + w, y0 + h) })
+    assert(math.round(Overlay.areaOf(u)) === cells.size)
+  }
+
   test("property: union is associative (area + membership) on random triples") {
     forSamples(Gen.zip(genConvex, genConvex, genConvex), n = 40) { case (a, b, c) =>
       if (a.length >= 6 && b.length >= 6 && c.length >= 6) {
