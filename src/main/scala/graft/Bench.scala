@@ -82,12 +82,14 @@ object Bench {
   def pipelineJob(spark: SparkSession, sfDir: String): Long =
     pipelineJobN(spark, PagesGen.rowsFor(sfDir))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** The local bench session — ONE recipe shared with [[StressBench]]
+    * so both artifacts measure the same engine configuration (a conf
+    * fix applied here cannot silently leave the stress numbers running
+    * different settings). */
+  def localSession(cores: Int, shufflePartitions: Int): SparkSession = {
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -96,6 +98,13 @@ object Bench {
       builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = localSession(cpus, cpus)
 
     // load transparency: both artifacts of the rounds-4/5 postmortems
     // recorded externally-noisy windows that silently understated the
@@ -162,6 +171,11 @@ object Bench {
       .map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"err\"") }
       .mkString("{", ",", "}")
+    // name WHICH queries were best-of-2, not just how many — the
+    // artifact must let a reader tell a rerun-confirmed number from a
+    // single (possibly stall-distorted) sample
+    val rerunNames = results.filter(_._4 == 2).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val nRerun = results.count(_._4 == 2)
     val total = results.map(_._2).sum + assignSec + pipelineSec
     println(
@@ -171,7 +185,7 @@ object Bench {
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""headline_samples":[${f"$assignSec1%.3f"},${f"$assignSec2%.3f"}],""" +
       s""""pipeline_samples":[${f"$pipelineSec1%.3f"},${f"$pipelineSec2%.3f"}],""" +
-      s""""best_of_2_queries":$nRerun}""")
+      s""""best_of_2_queries":$nRerun,"rerun_queries":$rerunNames}""")
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 import scala.jdk.CollectionConverters._
 
 /** 10× DATA-scale stress for the two headline jobs at a fixed
@@ -35,19 +33,9 @@ object StressBench {
     val factor = if (args.length > 2) args(2).toInt else 10
     val runs = if (args.length > 3) args(3).toInt else 2
     val cores = 32
-    val builder = SparkSession.builder()
-      .master(s"local[$cores]")
-      // same 4× shuffle over-decomposition as the scaling bench — the
-      // realistic many-splits shape, and straggler insurance
-      .config("spark.sql.shuffle.partitions", cores * 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same 4× shuffle over-decomposition as the scaling bench — the
+    // realistic many-splits shape, and straggler insurance
+    val spark = Bench.localSession(cores, cores * 4)
 
     def stress(job: String, small: Long,
                run: Long => Unit): Unit = {

@@ -154,7 +154,8 @@ class StreamingSpec extends AnyFunSuite {
         Thread.sleep(100)
       val withinHorizon = keepers()
       val stall = System.currentTimeMillis - tFirst
-      if (withinHorizon == Seq(1L, 5L, 50L) && stall > ttlMs)
+      val stalledReadmit = withinHorizon == Seq(1L, 5L, 50L) && stall > ttlMs
+      if (stalledReadmit)
         // a >ttl host stall between the two batches evicted the hash
         // first and re-admitted doc 5 — correct TTL behavior, just not
         // the within-horizon scenario this assertion targets; don't
@@ -168,7 +169,12 @@ class StreamingSpec extends AnyFunSuite {
       // the idle hash, and the next sighting is re-admitted fresh
       Thread.sleep(ttlMs + 1500)
       mem.addData((7L, "dup text"))
-      awaitKeepers(Seq(1L, 7L, 50L),
+      // if the stall path re-admitted doc 5, it is a keeper in the
+      // append-only sink forever — the final expectation must carry it
+      // or the tolerated stall still fails the suite 60 s later here
+      val expectAfterTtl =
+        if (stalledReadmit) Seq(1L, 5L, 7L, 50L) else Seq(1L, 7L, 50L)
+      awaitKeepers(expectAfterTtl,
         "hash unseen for > TTL must be re-admitted after state eviction")
     } finally q.stop() // TTL-armed queries batch FOREVER — never leak one
   }
