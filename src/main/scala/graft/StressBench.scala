@@ -58,7 +58,7 @@ object StressBench {
         f""""rows_per_sec_small":$rateSmall,"rows_big":$big,"sec_big":$sBig%.2f,""" +
         f""""rows_per_sec_big":$rateBig,"rate_ratio_big_over_small":$ratio%.3f,""" +
         f""""peak_heap_mb_big":$peakMb,"runs":$runs,""" +
-        f""""load_start":"$loadBefore","load_end":"${Bench.loadavg}"}""")
+        f""""loadavg_start":"$loadBefore","loadavg_end":"${Bench.loadavg}"}""")
     }
 
     stress("tile_assign", nAssign, n => { Bench.tileAssignJobN(spark, n); () })

@@ -151,9 +151,14 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData((5L, "dup text"), (50L, "marker text"))
       val markerDeadline = System.currentTimeMillis + 60000
       while (System.currentTimeMillis < markerDeadline && !keepers().contains(50L))
-        Thread.sleep(100)
-      val withinHorizon = keepers()
+        Thread.sleep(50)
+      // measure the stall the INSTANT the marker is first observed —
+      // every ms of later measurement widens the band where a genuine
+      // premature re-admission is indistinguishable from a tolerated
+      // host stall (the band is now one poll interval + collect
+      // latency; it cannot be zero from sink observations alone)
       val stall = System.currentTimeMillis - tFirst
+      val withinHorizon = keepers()
       val stalledReadmit = withinHorizon == Seq(1L, 5L, 50L) && stall > ttlMs
       if (stalledReadmit)
         // a >ttl host stall between the two batches evicted the hash
