@@ -39,12 +39,14 @@ object StressBench {
 
     def stress(job: String, small: Long,
                run: Long => Unit): Unit = {
+      // sample BEFORE the warm-up so loadavg_start means the same
+      // thing as Bench's: pre-work external load, not our own warm-up
+      val loadBefore = Bench.loadavg
       run(small) // warm-up: JIT + codegen
       def best(n: Long): Double = (1 to runs).map { _ =>
         System.gc()
         Bench.time(run(n))._2
       }.min
-      val loadBefore = Bench.loadavg
       val sSmall = best(small)
       val big = small * factor
       System.gc()

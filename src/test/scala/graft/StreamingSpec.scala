@@ -133,9 +133,15 @@ class StreamingSpec extends AnyFunSuite {
     try {
       def keepers() =
         spark.sql(s"SELECT keeper FROM $queryName").collect().map(_.getLong(0)).sorted.toSeq
+      // 50ms polls on BOTH observation sides (tFirst via awaitKeepers,
+      // the marker loop below): the stall measurement subtracts one
+      // observation time from the other, so asymmetric poll latency
+      // biases it — the old 100ms tFirst poll with a 50ms marker poll
+      // could UNDERmeasure true state age and flake a legitimate
+      // just-over-TTL eviction
       def awaitKeepers(expect: Seq[Long], why: String): Unit = {
         val deadline = System.currentTimeMillis + 60000
-        while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(100)
+        while (System.currentTimeMillis < deadline && keepers() != expect) Thread.sleep(50)
         assert(keepers() === expect, why)
       }
       mem.addData((1L, "dup text"))
