@@ -102,6 +102,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = localSession(cpus, cpus)
@@ -112,24 +113,39 @@ object Bench {
     // a noisy sample self-identifies in the JSON instead
     val loadStart = loadavg
 
-    // headline: tile-assignment throughput (north metric), warm, and
-    // BEST-OF-2 timed runs — a single externally-delayed run can no
-    // longer masquerade as the engine's rate; both samples are emitted
-    tileAssignJob(spark, sfDir) // warm-up: JIT + codegen + file listing
+    // NORTH-METRIC HEADLINE at the 24M-row stress scale (round 7): the
+    // sf0.1 job is <2 s warm and swung ~2× between QUIET runs across
+    // rounds 5-6 (316k-703k pages/s on comparable engines) — at that
+    // duration the number measures C2/codegen warm-up state, not the
+    // engine. The same job at 24M rows is the scale StressBench has
+    // reported stably across rounds, so the headline now runs there;
+    // the sf-scale samples stay in `queries` (headline_tile_assign /
+    // headline_pipeline) to bridge rounds ≤ 6. BEST-OF-2 timed runs
+    // with both samples emitted, as before.
+    val headlineRows =
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ROWS", "24000000").toLong
+    val pipelineRows = headlineRows / 4 // same 24M:6M ratio as StressBench
+    tileAssignJobN(spark, headlineRows / 10) // warm-up: JIT + codegen
     System.gc()
-    val (assignRows, assignSec1) = time(tileAssignJob(spark, sfDir))
+    val (assignRows, assignSec1) = time(tileAssignJobN(spark, headlineRows))
     System.gc()
-    val (_, assignSec2) = time(tileAssignJob(spark, sfDir))
+    val (_, assignSec2) = time(tileAssignJobN(spark, headlineRows))
     val assignSec = math.min(assignSec1, assignSec2)
-    val pagesRows = PagesGen.rowsFor(sfDir)
-    val rowsPerSec = (pagesRows / assignSec).toLong
+    val rowsPerSec = (headlineRows / assignSec).toLong
 
-    pipelineJob(spark, sfDir) // warm-up
+    pipelineJobN(spark, pipelineRows / 10) // warm-up
     System.gc()
-    val (mergedRows, pipelineSec1) = time(pipelineJob(spark, sfDir))
+    val (mergedRows, pipelineSec1) = time(pipelineJobN(spark, pipelineRows))
     System.gc()
-    val (_, pipelineSec2) = time(pipelineJob(spark, sfDir))
+    val (_, pipelineSec2) = time(pipelineJobN(spark, pipelineRows))
     val pipelineSec = math.min(pipelineSec1, pipelineSec2)
+    val pipelineRowsPerSec = (pipelineRows / pipelineSec).toLong
+
+    // sf-scale headline samples (rounds ≤ 6 unit) for the queries
+    // table — bridges old artifacts; single timed run each after the
+    // 24M runs above have fully warmed the path
+    val (_, sfAssignSec) = time(tileAssignJob(spark, sfDir))
+    val (_, sfPipelineSec) = time(pipelineJob(spark, sfDir))
 
     // per-query reruns above this cost get a second sample (best-of-2):
     // long queries are where an external stall distorts a round-over-
@@ -169,8 +185,8 @@ object Bench {
     }
     val loadEnd = loadavg
     val qs = (results ++ Seq(
-      ("headline_tile_assign", assignSec, true, 2),
-      ("headline_pipeline", pipelineSec, true, 2)))
+      ("headline_tile_assign", sfAssignSec, true, 1),
+      ("headline_pipeline", sfPipelineSec, true, 1)))
       .map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "\"err\"") }
       .mkString("{", ",", "}")
@@ -180,14 +196,23 @@ object Bench {
     // separate field that could drift
     val rerunNames = results.filter(_._4 == 2).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum + assignSec + pipelineSec
+    // total_sec: sum of the reported per-query numbers (best-of-2
+    // minima where rerun) — comparable to rounds ≥ 6; wall_sec is the
+    // true elapsed wall time of the whole bench including warm-ups and
+    // second samples (the rounds ≤ 5 total_sec had neither meaning)
+    val total = results.map(_._2).sum + sfAssignSec + sfPipelineSec
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
     println(
       s"""{"metric":"tile_assign_pages_per_sec","value":$rowsPerSec,"unit":"rows/sec",""" +
-      s""""total_sec":${f"$total%.2f"},"assign_rows":$assignRows,"merged_rows":$mergedRows,""" +
+      s""""headline_rows":$headlineRows,"pipeline_rows":$pipelineRows,""" +
+      s""""pipeline_rows_per_sec":$pipelineRowsPerSec,""" +
+      s""""total_sec":${f"$total%.2f"},"wall_sec":${f"$wallSec%.2f"},""" +
+      s""""assign_rows":$assignRows,"merged_rows":$mergedRows,""" +
       s""""queries":$qs,"sf":"$sfDir","cores":$cpus,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""headline_samples":[${f"$assignSec1%.3f"},${f"$assignSec2%.3f"}],""" +
       s""""pipeline_samples":[${f"$pipelineSec1%.3f"},${f"$pipelineSec2%.3f"}],""" +
+      s""""sf_headline_samples":[${f"$sfAssignSec%.3f"},${f"$sfPipelineSec%.3f"}],""" +
       s""""rerun_queries":$rerunNames}""")
     spark.stop()
   }

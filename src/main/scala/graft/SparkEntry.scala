@@ -21,6 +21,39 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Scratch dir for the file-round-trip queries (gtiff/shp): prefer
+    * tmpfs — raster_geotiff_rt showed a 1.5× quiet-run band (3.5-5.3 s,
+    * rounds 5-6) on unchanged code because /tmp page-cache/writeback
+    * state varies between runs; /dev/shm makes the IO leg
+    * deterministic (same precedent as the Bench shuffle dir). The
+    * payload is ≤ 10 MB at sf0.1. Stale siblings from earlier runs in
+    * the SAME parent are removed first (> 30 min old — a lazily-read
+    * DataFrame from the current process may still hold a younger one),
+    * so repeated bench/verify runs can't accumulate in tmpfs. */
+  private def scratchDir(prefix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val parent =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+        val p = shm.resolve("graft-scratch")
+        Files.createDirectories(p)
+        p
+      } else Paths.get(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+    Files.list(parent).forEach { child =>
+      val name = child.getFileName.toString
+      if (name.startsWith(prefix) &&
+          scala.util.Try(Files.getLastModifiedTime(child).toMillis < cutoff)
+            .getOrElse(false)) {
+        scala.util.Try {
+          Files.walk(child).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      }
+    }
+    Files.createTempDirectory(parent, prefix).toString
+  }
+
   /** The sf0.01 row count the driver's oracle runs at (TESTDATA.md). */
   private val OracleRows = 60000L
 
@@ -591,7 +624,7 @@ object SparkEntry {
       val spec = GeoOps.TileGrid.Default
       val crowns = CrownOps.synthesize(s, GeoOps.assignTiles(PagesGen.pagesFor(s, dir)), spec)
       val tiles = RasterOps.mosaic(s, RasterOps.confidenceTiles(s, crowns, spec), spec)
-      val out = java.nio.file.Files.createTempDirectory("gtiff_q").toString
+      val out = scratchDir("gtiff_q")
       graft.tables.GeoTiffIO.writeTable(tiles, out, deflate = true)
       graft.tables.GeoTiffIO.readTable(s, out)
         .map { t =>
@@ -642,7 +675,7 @@ object SparkEntry {
         .collect()
         .sortBy(m => (-m.score, m.region, m.classIdx, m.minX, m.minY))
         .toSeq
-      val out = java.nio.file.Files.createTempDirectory("shp_q").toString
+      val out = scratchDir("shp_q")
       graft.tables.ShapefileIO.writeMergedCrowns(s"$out/merged.shp", merged)
       graft.tables.ShapefileIO.readTable(s, out)
         .select(col("record_num"), element_at(col("props"), "id").as("prop_id"),

@@ -32,7 +32,11 @@ object StressBench {
     val nPipeline = if (args.length > 1) args(1).toLong else 6000000L
     val factor = if (args.length > 2) args(2).toInt else 10
     val runs = if (args.length > 3) args(3).toInt else 2
-    val cores = 32
+    // mirror Bench.main — the shared-localSession rationale (stress and
+    // bench on ONE engine configuration) extends to the core count; a
+    // hardcoded 32 on a smaller host oversubscribes and mixes
+    // scheduling noise into the rate ratio
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // same 4× shuffle over-decomposition as the scaling bench — the
     // realistic many-splits shape, and straggler insurance
     val spark = Bench.localSession(cores, cores * 4)
@@ -59,7 +63,7 @@ object StressBench {
       println(f"""{"job":"$job","rows_small":$small,"sec_small":$sSmall%.2f,""" +
         f""""rows_per_sec_small":$rateSmall,"rows_big":$big,"sec_big":$sBig%.2f,""" +
         f""""rows_per_sec_big":$rateBig,"rate_ratio_big_over_small":$ratio%.3f,""" +
-        f""""peak_heap_mb_big":$peakMb,"runs":$runs,""" +
+        f""""peak_heap_mb_big":$peakMb,"runs":$runs,"cores":$cores,""" +
         f""""loadavg_start":"$loadBefore","loadavg_end":"${Bench.loadavg}"}""")
     }
 
