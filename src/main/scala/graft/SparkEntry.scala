@@ -86,6 +86,141 @@ object SparkEntry {
   private def murMix(h: String, k: String) =
     s"CAST((CAST(${rotl32(murMixLast(h, k), 13)} AS HUGEINT) * 5 + ${0xe6546b64L}) % 4294967296 AS BIGINT)"
 
+  // --- DuckDB replicas of 64-bit XXH64 arithmetic (the hash behind
+  // Spark's `xxhash64` / XxHash64Function) for reproducing
+  // Dedup.minhashSignatures bit-exactly: values live in UBIGINT;
+  // wraparound multiplies detour through HUGEINT via 32-bit halves
+  // (same staging as mulMod64); rotates split into disjoint shifted
+  // halves joined by + (no bit overlap, so + is |). Only the < 32-byte
+  // path of XXH64 is replicated — guarded FAIL-LOUD in SQL (xck CTE
+  // errors on ≥ 32 bytes or non-ASCII) — which covers every 3-word
+  // shingle the documents fixture can produce (max 26 bytes at the
+  // sf0.01 oracle gate; the vocabulary is short ASCII words).
+  private val XxP1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val XxP2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val XxP3 = "1609587929392839161" // 0x165667B19E3779F9
+  private val XxP4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
+  private val XxP5 = "2870177450012600261" // 0x27D4EB2F165667C5
+  private val M64 = "18446744073709551616"
+  private def xHug(e: String) = s"CAST($e AS HUGEINT)"
+  private def xUb(e: String) = s"CAST($e AS UBIGINT)"
+
+  /** (e · c) mod 2^64 — e a non-negative integer expr < 2^64, c an
+    * unsigned-decimal constant: lo(e)·c fits HUGEINT (< 2^96), the
+    * hi(e)·lo(c) cross term only matters mod 2^32. */
+  private def xMul(e: String, c: String): String = {
+    val clo = java.lang.Long.parseUnsignedLong(c) & 0xFFFFFFFFL
+    xUb(s"(((${xHug(s"($e) % 4294967296")}) * $c" +
+      s" + (((${xHug(s"($e) >> 32")}) * $clo) % 4294967296) * 4294967296) % $M64)")
+  }
+  private def xRotl(e: String, r: Int) =
+    xUb(s"(((${xHug(e)} * ${1L << r}) % $M64) + ${xHug(s"($e) >> ${64 - r}")})")
+  private def xAdd(e: String, c: String) = xUb(s"((${xHug(e)} + $c) % $M64)")
+  // the three XXH64 absorb steps: 8-byte word (w BIGINT < 2^63 — ASCII
+  // top byte), 4-byte word (d < 2^32), tail byte (b ≤ 127)
+  private def xWordMix(z: String, w: String) =
+    xAdd(xMul(xRotl(s"xor($z, ${xMul(xRotl(xMul(w, XxP2), 31), XxP1)})", 27), XxP1), XxP4)
+  private def xU32Mix(z: String, d: String) =
+    xAdd(xMul(xRotl(s"xor($z, ${xUb(s"(${xHug(d)} * $XxP1) % $M64")})", 23), XxP2), XxP3)
+  private def xByteMix(z: String, b: String) =
+    xMul(xRotl(s"xor($z, ${xUb(s"(${xHug(b)} * $XxP5) % $M64")})", 11), XxP1)
+  /** Little-endian word of `nBytes` from the 1-indexed byte list `bl`
+    * at 0-based offset `off` (an expression). */
+  private def xWord(off: String, nBytes: Int) =
+    (0 until nBytes).map(k => s"bl[$off + ${k + 1}] * ${1L << (8 * k)}").mkString(" + ")
+
+  /** XXH64(s, seed_i) for every DISTINCT `s` (VARCHAR column of CTE
+    * `src`) × the `numHashes` minhash permutation seeds — emits CTE
+    * `hh(s, si, h)` with h converted to SIGNED BIGINT because the
+    * engine's signature is a signed-Long min (Long.MaxValue init).
+    * Seeds are computed at SQL-build time by the exact function the
+    * engine uses (XxHash64Function.hash(i, IntegerType, 42)), so the
+    * two sides cannot drift. The staged-CTE chain was validated
+    * bit-exact against the JVM on 7,904 random-ASCII (len 1-31) ×
+    * 32-seed hashes and on the full sf0.01 shingle corpus. */
+  private def xxh64HashCtes(src: String, numHashes: Int): String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    val seeds = (0 until numHashes).map { i =>
+      s"($i, ${xUb(java.lang.Long.toUnsignedString(XxHash64Function.hash(i, IntegerType, 42L)))})"
+    }.mkString(", ")
+    s"""xin AS (SELECT DISTINCT s FROM $src),
+       |xby AS (SELECT s, len(s) AS L,
+       |         list_transform(string_split(s, ''), c -> unicode(c)) AS bl FROM xin),
+       |xck AS (SELECT s, CASE WHEN L >= 32 OR list_max(bl) > 127 OR list_min(bl) < 0
+       |                  THEN error('xxh64 oracle: input outside the <32-byte ASCII domain')
+       |                  ELSE L END AS L, bl FROM xby),
+       |xwd AS (SELECT s, L,
+       |         ${xWord("0", 8)} AS w1, ${xWord("8", 8)} AS w2, ${xWord("16", 8)} AS w3,
+       |         ${xWord("(L // 8) * 8", 4)} AS d4,
+       |         bl[L - (L % 4) + 1] AS tb1, bl[L - (L % 4) + 2] AS tb2, bl[L] AS tb3
+       |        FROM xck),
+       |xsd AS (SELECT * FROM (VALUES $seeds) AS t(si, sd)),
+       |xh0 AS (SELECT s, L, w1, w2, w3, d4, tb1, tb2, tb3, si,
+       |         ${xUb(s"(${xHug("sd")} + $XxP5 + L) % $M64")} AS z FROM xwd, xsd),
+       |xh1 AS (SELECT s, L, w2, w3, d4, tb1, tb2, tb3, si,
+       |         CASE WHEN L >= 8 THEN ${xWordMix("z", "w1")} ELSE z END AS z FROM xh0),
+       |xh2 AS (SELECT s, L, w3, d4, tb1, tb2, tb3, si,
+       |         CASE WHEN L >= 16 THEN ${xWordMix("z", "w2")} ELSE z END AS z FROM xh1),
+       |xh3 AS (SELECT s, L, d4, tb1, tb2, tb3, si,
+       |         CASE WHEN L >= 24 THEN ${xWordMix("z", "w3")} ELSE z END AS z FROM xh2),
+       |xh4 AS (SELECT s, L, tb1, tb2, tb3, si,
+       |         CASE WHEN L % 8 >= 4 THEN ${xU32Mix("z", "d4")} ELSE z END AS z FROM xh3),
+       |xt1 AS (SELECT s, L, tb2, tb3, si,
+       |         CASE WHEN L % 4 >= 1 THEN ${xByteMix("z", "tb1")} ELSE z END AS z FROM xh4),
+       |xt2 AS (SELECT s, L, tb3, si,
+       |         CASE WHEN L % 4 >= 2 THEN ${xByteMix("z", "tb2")} ELSE z END AS z FROM xt1),
+       |xt3 AS (SELECT s, si,
+       |         CASE WHEN L % 4 >= 3 THEN ${xByteMix("z", "tb3")} ELSE z END AS z FROM xt2),
+       |xf1 AS (SELECT s, si, xor(z, z >> 33) AS z FROM xt3),
+       |xf2 AS (SELECT s, si, ${xMul("z", XxP2)} AS z FROM xf1),
+       |xf3 AS (SELECT s, si, xor(z, z >> 29) AS z FROM xf2),
+       |xf4 AS (SELECT s, si, ${xMul("z", XxP3)} AS z FROM xf3),
+       |xf5 AS (SELECT s, si, xor(z, z >> 32) AS z FROM xf4),
+       |hh AS (SELECT s, si,
+       |        CAST(${xHug("z")} - CASE WHEN z >= 9223372036854775808
+       |                                 THEN $M64 ELSE 0 END AS BIGINT) AS h FROM xf5)""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Dedup.minhashLshPairs]] (n = 3,
+    * numHashes = 32, bands = 8 × 4 rows): word-3-gram shingles →
+    * 32-way signed-min signature (via [[xxh64HashCtes]]) → candidate
+    * pairs sharing a band SLICE → signature-agreement estimate ≥
+    * `thrMilli`. The engine keys candidates on xxhash64(band,
+    * slice-string) BUCKETS; equal slices always give equal buckets,
+    * and the converse fails only on a 2^-64 bucket collision between
+    * distinct slices — which the estimate filter cannot mask (a
+    * colliding pair with est ≥ thr would ADD an output row).
+    * DedupSpec's bucket-vs-slice candidate-set equality pins the
+    * absence of such collisions on the fixture corpus. Emits
+    * `mpairs(a, b, est_milli)`; `docsSrc` must expose (doc_id, text).
+    */
+  private def minhashPairCtes(docsSrc: String, thrMilli: Int): String = {
+    val est = s"(1000 * len(list_filter(range(32), i -> la.sig[i+1] = lb.sig[i+1]))) // 32"
+    s"""mtk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |              string_split(coalesce(text, ''), ' ') AS tk
+       |       FROM $docsSrc WHERE text IS NOT NULL),
+       |msh AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+       |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+       |        FROM mtk WHERE len(tk) >= 3),
+       |${xxh64HashCtes("msh", 32)},
+       |msig AS (SELECT d.doc_id, h.si, min(h.h) AS sv
+       |         FROM (SELECT DISTINCT doc_id, s FROM msh) d JOIN hh h USING (s)
+       |         GROUP BY d.doc_id, h.si),
+       |marr AS (SELECT doc_id, list(sv ORDER BY si) AS sig FROM msig GROUP BY doc_id),
+       |mband AS (SELECT doc_id, bb, sig[4*bb + 1] AS s1, sig[4*bb + 2] AS s2,
+       |                sig[4*bb + 3] AS s3, sig[4*bb + 4] AS s4
+       |          FROM marr, (SELECT unnest(range(8)) AS bb)),
+       |mcand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |          FROM mband l JOIN mband r
+       |            ON l.bb = r.bb AND l.s1 = r.s1 AND l.s2 = r.s2
+       |           AND l.s3 = r.s3 AND l.s4 = r.s4 AND l.doc_id < r.doc_id),
+       |mpairs AS (SELECT c.a, c.b, $est AS est_milli
+       |           FROM mcand c JOIN marr la ON la.doc_id = c.a
+       |                        JOIN marr lb ON lb.doc_id = c.b
+       |           WHERE $est >= $thrMilli)""".stripMargin
+  }
+
   /** DuckDB replica of [[operators.Dedup.simhash]]'s whole hash chain —
     * `mix64(MurmurHash3.stringHash(token, 42).toLong)` per
     * space-separated token, then the 64-bit ±1 bit-vote fingerprint.
@@ -902,6 +1037,12 @@ object SparkEntry {
          |       CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
          |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin,
+    // full MinHash+LSH replica: the xxhash64 permutation chain
+    // recomputed in SQL (xxh64HashCtes), band collisions restated as
+    // exact slice equality (see minhashPairCtes for why that is sound)
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashPairCtes("documents", 100)}
+         |SELECT a, b, est_milli FROM mpairs""".stripMargin,
     "sim_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -996,6 +1137,27 @@ object SparkEntry {
          |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
          |SELECT f.doc_id, f.pred_lang, f.n_tokens, f.n_uniq_tokens
          |FROM f JOIN k USING (doc_id)""".stripMargin
+    },
+    // the FULL cleaner chain (annotate → exact dedup → MinHash-LSH
+    // near-dup anti-join): the corpus_keepers stages extended by the
+    // minhash pair replica at the cleaner's thrMilli = 800
+    "corpus_clean" -> {
+      val (scoreCols, caseExpr) = langIdDuck
+      s"""WITH tk AS (SELECT doc_id, text,
+         |    string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text, $scoreCols FROM tk),
+         |ann AS (SELECT doc_id, text, $caseExpr AS pred_lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+         |  FROM sc),
+         |f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND n_uniq_tokens >= 2),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |keep AS (SELECT f.doc_id, f.text, f.pred_lang, f.n_tokens
+         |         FROM f JOIN k USING (doc_id)),
+         |${minhashPairCtes("keep", 800)}
+         |SELECT doc_id, pred_lang, n_tokens FROM keep
+         |WHERE doc_id NOT IN (SELECT DISTINCT b FROM mpairs)""".stripMargin
     },
   )
 }

@@ -58,6 +58,32 @@ class OpsSpec extends AnyFunSuite {
     assert(found >= 16, s"minhash near-dup recall too low: $found/20")
   }
 
+  test("LSH bucket collision ≡ band-slice equality (minhash oracle soundness)") {
+    // the DuckDB oracle for dedup_minhash_lsh / corpus_clean restates
+    // the engine's xxhash64-bucket candidate join as EXACT slice
+    // equality. Equal slices always collide (bucket is a function of
+    // the slice); the converse can fail only on a 2^-64 bucket
+    // collision between distinct slices — this pins its absence on
+    // both the planted fixture and the real documents table, so the
+    // two candidate sets are interchangeable for these corpora.
+    for (d <- Seq(docs,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val rows = Dedup.minhashBands(d, n = 3, numHashes = 32, bands = 8)
+        .select(col("doc_id").cast("long"), col("band"), col("bucket"), col("sig"))
+        .as[(Long, Int, Long, Seq[Long])].collect()
+      def pairsBy[K](key: ((Long, Int, Long, Seq[Long])) => K): Set[(Long, Long)] =
+        rows.groupBy(key).values.flatMap { grp =>
+          val ids = grp.map(_._1).distinct.sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
+        }.toSet
+      val byBucket = pairsBy(r => (r._2, r._3))
+      val bySlice = pairsBy(r => (r._2, r._4.slice(r._2 * 4, r._2 * 4 + 4)))
+      assert(byBucket === bySlice)
+      assert(byBucket.nonEmpty) // non-vacuous: the corpora do collide
+    }
+  }
+
   test("simhash: hamming 0 for exact dups, small for near dups") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     (0L until 20L).foreach { i =>
