@@ -276,6 +276,43 @@ object SparkEntry {
        |sig AS (SELECT d.doc_id, coalesce(s.sh, CAST(0 AS UBIGINT)) AS sh
        |        FROM documents d LEFT JOIN sig0 s USING (doc_id))""".stripMargin
 
+  /** DuckDB replica of [[operators.Similarity.kmeansWithCentroids]]:
+    * `iters` UNROLLED Lloyd iterations (init = first k vectors by
+    * vec_id, squared-L2 argmin with lowest-cluster tie-break, per-pos
+    * mean update, empty clusters keeping their previous centroid) plus
+    * the final post-loop assignment — emits CTE `af(vec_id, v, cl)`
+    * and leaves the final centroids in CTE `c{iters}`. Float→double
+    * widening is exact on both sides and the per-vector distance sums
+    * run in the same ascending index order; the only FP divergence is
+    * the centroid mean's summation order (≤ ~1e-13 relative), measured
+    * ≥ 3.7e-6 away from flipping any argmin on the fixture embeddings
+    * (min relative best-vs-second margin across iterations, k = 10 and
+    * 16) — four orders of magnitude of slack, so the integer outputs
+    * are stable, not coincidental. */
+  private def kmeansSqlCtes(k: Int, iters: Int, dim: Int = 64): String = {
+    val dist = s"list_sum(list_transform(range($dim), i -> " +
+      "(v[i+1] - cent[i+1]) * (v[i+1] - cent[i+1])))"
+    val init =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { j =>
+      s"""d$j AS (SELECT e.vec_id, e.v, c.cl, $dist AS d FROM e, c${j - 1} c),
+         |a$j AS (SELECT vec_id, v, cl FROM (SELECT *, row_number() OVER
+         |          (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM d$j) WHERE rn = 1),
+         |u$j AS (SELECT cl, pos, avg(v[pos + 1]) AS m
+         |        FROM a$j, (SELECT unnest(range($dim)) AS pos) GROUP BY cl, pos),
+         |n$j AS (SELECT cl, list(m ORDER BY pos) AS cent FROM u$j GROUP BY cl),
+         |c$j AS (SELECT p.cl, coalesce(n.cent, p.cent) AS cent
+         |        FROM c${j - 1} p LEFT JOIN n$j n ON p.cl = n.cl)""".stripMargin
+    }
+    val fin =
+      s"""df AS (SELECT e.vec_id, e.v, c.cl, $dist AS d FROM e, c$iters c),
+         |af AS (SELECT vec_id, v, cl FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM df) WHERE rn = 1)""".stripMargin
+    (init +: steps :+ fin).mkString(",\n")
+  }
+
   /** DuckDB replica of the crown-synthesis chain (CrownOps.mix64 /
     * synthPoly / synthClass / synthScore / capPerTile inputs): the
     * splitmix64 hash runs in exact mod-2^64 UBIGINT/HUGEINT
@@ -1056,6 +1093,38 @@ object SparkEntry {
         |      ORDER BY floor(1e6 * list_dot_product(e, qe) / (nrm * qn)) DESC, base.vec_id) AS rank
         |  FROM base JOIN q ON base.vec_id <> query_id)
         |WHERE rank <= 10""".stripMargin,
+    // unrolled-Lloyd replica (see kmeansSqlCtes for the FP-margin
+    // soundness argument); output is integer cluster counts
+    "sim_kmeans" ->
+      s"""WITH ${kmeansSqlCtes(10, 5)}
+         |SELECT cl AS cluster, count(*) AS cnt FROM af GROUP BY cl""".stripMargin,
+    // full IVF replica: k=16 quantizer, per-query top-6 probe by
+    // centroid distance (restricted to NON-EMPTY clusters — the
+    // engine's far-sentinel for empty clusters sorts strictly last, so
+    // with ≥ nProbe non-empty clusters the probe sets coincide, and
+    // sentinel probes contribute no candidates anyway), exact
+    // cosine rank within probed clusters. Ranks compare FLOORED
+    // micro-cosines (integers), so ordering is FP-safe given the
+    // bit-identical ascending dot products (same as sim_cosine_topk).
+    "sim_cosine_topk_ivf" ->
+      s"""WITH ${kmeansSqlCtes(16, 5)},
+         |nrm AS (SELECT vec_id, v, cl, sqrt(list_dot_product(v, v)) AS nm FROM af),
+         |ne AS (SELECT DISTINCT cl FROM af),
+         |pd AS (SELECT q.vec_id AS query_id, c.cl,
+         |         list_sum(list_transform(range(64), i ->
+         |           (q.v[i+1] - c.cent[i+1]) * (q.v[i+1] - c.cent[i+1]))) AS d
+         |       FROM (SELECT * FROM nrm WHERE vec_id < 20) q,
+         |            (SELECT c.cl, c.cent FROM c5 c JOIN ne USING (cl)) c),
+         |probe AS (SELECT query_id, cl FROM (SELECT *, row_number() OVER
+         |            (PARTITION BY query_id ORDER BY d, cl) AS rn FROM pd) WHERE rn <= 6),
+         |cand AS (SELECT p.query_id, b.vec_id AS nbr_id,
+         |           CAST(floor(1e6 * list_dot_product(b.v, q.v) / (b.nm * q.nm)) AS BIGINT) AS cos_micro
+         |         FROM probe p JOIN nrm b ON b.cl = p.cl
+         |              JOIN nrm q ON q.vec_id = p.query_id
+         |         WHERE b.vec_id != p.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, cos_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_micro DESC, nbr_id) AS rnk FROM cand) WHERE rnk <= 10""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
