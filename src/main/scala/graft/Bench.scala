@@ -120,25 +120,32 @@ object Bench {
     // engine. The same job at 24M rows is the scale StressBench has
     // reported stably across rounds, so the headline now runs there;
     // the sf-scale samples stay in `queries` (headline_tile_assign /
-    // headline_pipeline) to bridge rounds ≤ 6. BEST-OF-2 timed runs
-    // with both samples emitted, as before.
+    // headline_pipeline) to bridge rounds ≤ 6. Best-of-4 timed runs
+    // with every sample emitted.
     val headlineRows =
       sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ROWS", "24000000").toLong
     val pipelineRows = headlineRows / 4 // same 24M:6M ratio as StressBench
-    tileAssignJobN(spark, headlineRows / 10) // warm-up: JIT + codegen
-    System.gc()
-    val (assignRows, assignSec1) = time(tileAssignJobN(spark, headlineRows))
-    System.gc()
-    val (_, assignSec2) = time(tileAssignJobN(spark, headlineRows))
-    val assignSec = math.min(assignSec1, assignSec2)
+    // FULL-SIZE warm-up + best-of-4, the StressBench protocol: a
+    // reduced-size warm-up left the first full-size sample 1.5-3×
+    // slower than the second (C2 recompilation at the bigger shuffle
+    // shape), and warm-up measurably continues into the second full
+    // pass — back-to-back best-of-3 runs read 18% apart, while a
+    // single-JVM probe showed two consecutive best-of-SIX readings
+    // within 4.5%; best-of-4 is the cost/stability compromise
+    tileAssignJobN(spark, headlineRows) // warm-up: JIT + codegen, full shape
+    val assignSamples = (1 to 4).map { _ =>
+      System.gc(); time(tileAssignJobN(spark, headlineRows))
+    }
+    val assignRows = assignSamples.head._1
+    val assignSec = assignSamples.map(_._2).min
     val rowsPerSec = (headlineRows / assignSec).toLong
 
-    pipelineJobN(spark, pipelineRows / 10) // warm-up
-    System.gc()
-    val (mergedRows, pipelineSec1) = time(pipelineJobN(spark, pipelineRows))
-    System.gc()
-    val (_, pipelineSec2) = time(pipelineJobN(spark, pipelineRows))
-    val pipelineSec = math.min(pipelineSec1, pipelineSec2)
+    pipelineJobN(spark, pipelineRows) // warm-up
+    val pipelineSamples = (1 to 4).map { _ =>
+      System.gc(); time(pipelineJobN(spark, pipelineRows))
+    }
+    val mergedRows = pipelineSamples.head._1
+    val pipelineSec = pipelineSamples.map(_._2).min
     val pipelineRowsPerSec = (pipelineRows / pipelineSec).toLong
 
     // sf-scale headline samples (rounds ≤ 6 unit) for the queries
@@ -210,8 +217,8 @@ object Bench {
       s""""assign_rows":$assignRows,"merged_rows":$mergedRows,""" +
       s""""queries":$qs,"sf":"$sfDir","cores":$cpus,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-      s""""headline_samples":[${f"$assignSec1%.3f"},${f"$assignSec2%.3f"}],""" +
-      s""""pipeline_samples":[${f"$pipelineSec1%.3f"},${f"$pipelineSec2%.3f"}],""" +
+      s""""headline_samples":[${assignSamples.map(s => f"${s._2}%.3f").mkString(",")}],""" +
+      s""""pipeline_samples":[${pipelineSamples.map(s => f"${s._2}%.3f").mkString(",")}],""" +
       s""""sf_headline_samples":[${f"$sfAssignSec%.3f"},${f"$sfPipelineSec%.3f"}],""" +
       s""""rerun_queries":$rerunNames}""")
     spark.stop()

@@ -40,17 +40,22 @@ object SparkEntry {
         p
       } else Paths.get(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
-    Files.list(parent).forEach { child =>
-      val name = child.getFileName.toString
-      if (name.startsWith(prefix) &&
-          scala.util.Try(Files.getLastModifiedTime(child).toMillis < cutoff)
-            .getOrElse(false)) {
-        scala.util.Try {
-          Files.walk(child).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { Files.deleteIfExists(p); () })
+    val siblings = Files.list(parent)
+    try {
+      siblings.forEach { child =>
+        val name = child.getFileName.toString
+        if (name.startsWith(prefix) &&
+            scala.util.Try(Files.getLastModifiedTime(child).toMillis < cutoff)
+              .getOrElse(false)) {
+          scala.util.Try {
+            val walk = Files.walk(child)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
+            finally walk.close()
+          }
         }
       }
-    }
+    } finally siblings.close()
     Files.createTempDirectory(parent, prefix).toString
   }
 
@@ -191,8 +196,9 @@ object SparkEntry {
     * and the converse fails only on a 2^-64 bucket collision between
     * distinct slices — which the estimate filter cannot mask (a
     * colliding pair with est ≥ thr would ADD an output row).
-    * DedupSpec's bucket-vs-slice candidate-set equality pins the
-    * absence of such collisions on the fixture corpus. Emits
+    * OpsSpec's bucket-vs-slice candidate-set equality pins the
+    * absence of such collisions on the fixture corpora, including the
+    * sf0.01 documents table the driver's oracle gate runs on. Emits
     * `mpairs(a, b, est_milli)`; `docsSrc` must expose (doc_id, text).
     */
   private def minhashPairCtes(docsSrc: String, thrMilli: Int): String = {
@@ -287,8 +293,9 @@ object SparkEntry {
     * the centroid mean's summation order (≤ ~1e-13 relative), measured
     * ≥ 3.7e-6 away from flipping any argmin on the fixture embeddings
     * (min relative best-vs-second margin across iterations, k = 10 and
-    * 16) — four orders of magnitude of slack, so the integer outputs
-    * are stable, not coincidental. */
+    * 16; the IVF probe's 6th-vs-7th cluster boundary margin measures
+    * 4.3e-5 the same way) — four-plus orders of magnitude of slack, so
+    * the integer outputs are stable, not coincidental. */
   private def kmeansSqlCtes(k: Int, iters: Int, dim: Int = 64): String = {
     val dist = s"list_sum(list_transform(range($dim), i -> " +
       "(v[i+1] - cent[i+1]) * (v[i+1] - cent[i+1])))"
@@ -1192,41 +1199,38 @@ object SparkEntry {
          |SELECT pred_lang, count(*) AS cnt
          |FROM (SELECT $caseExpr AS pred_lang FROM sc) GROUP BY 1""".stripMargin
     },
-    "corpus_keepers" -> {
-      val (scoreCols, caseExpr) = langIdDuck
-      s"""WITH tk AS (SELECT doc_id, text,
-         |    string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
-         |  FROM documents),
-         |sc AS (SELECT doc_id, text, $scoreCols FROM tk),
-         |ann AS (SELECT doc_id, text, $caseExpr AS pred_lang,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
-         |  FROM sc),
-         |f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND n_uniq_tokens >= 2),
-         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
-         |SELECT f.doc_id, f.pred_lang, f.n_tokens, f.n_uniq_tokens
-         |FROM f JOIN k USING (doc_id)""".stripMargin
-    },
+    "corpus_keepers" ->
+      s"""WITH $keeperCtes
+         |SELECT doc_id, pred_lang, n_tokens, n_uniq_tokens FROM keep""".stripMargin,
     // the FULL cleaner chain (annotate → exact dedup → MinHash-LSH
-    // near-dup anti-join): the corpus_keepers stages extended by the
+    // near-dup anti-join): the shared keeper stages extended by the
     // minhash pair replica at the cleaner's thrMilli = 800
-    "corpus_clean" -> {
-      val (scoreCols, caseExpr) = langIdDuck
-      s"""WITH tk AS (SELECT doc_id, text,
-         |    string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
-         |  FROM documents),
-         |sc AS (SELECT doc_id, text, $scoreCols FROM tk),
-         |ann AS (SELECT doc_id, text, $caseExpr AS pred_lang,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
-         |  FROM sc),
-         |f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND n_uniq_tokens >= 2),
-         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
-         |keep AS (SELECT f.doc_id, f.text, f.pred_lang, f.n_tokens
-         |         FROM f JOIN k USING (doc_id)),
+    "corpus_clean" ->
+      s"""WITH $keeperCtes,
          |${minhashPairCtes("keep", 800)}
          |SELECT doc_id, pred_lang, n_tokens FROM keep
-         |WHERE doc_id NOT IN (SELECT DISTINCT b FROM mpairs)""".stripMargin
-    },
+         |WHERE doc_id NOT IN (SELECT DISTINCT b FROM mpairs)""".stripMargin,
   )
+
+  /** The corpus cleaner's SQL-expressible pre-LSH stages (langid
+    * annotate → quality filter → exact-dedup keeper pick) as shared
+    * CTEs ending in `keep(doc_id, text, pred_lang, n_tokens,
+    * n_uniq_tokens)` — ONE definition for the corpus_keepers and
+    * corpus_clean oracles, so a fix to the keeper stages can never
+    * silently desynchronize the two. */
+  private def keeperCtes: String = {
+    val (scoreCols, caseExpr) = langIdDuck
+    s"""tk AS (SELECT doc_id, text,
+       |    string_split_regex(lower(text), '[[:space:][:punct:]]+') AS _tk
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, $scoreCols FROM tk),
+       |ann AS (SELECT doc_id, text, $caseExpr AS pred_lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+       |  FROM sc),
+       |f AS (SELECT * FROM ann WHERE n_tokens >= 5 AND n_uniq_tokens >= 2),
+       |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+       |keep AS (SELECT f.doc_id, f.text, f.pred_lang, f.n_tokens, f.n_uniq_tokens
+       |         FROM f JOIN k USING (doc_id))""".stripMargin
+  }
 }

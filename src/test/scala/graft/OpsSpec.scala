@@ -64,10 +64,12 @@ class OpsSpec extends AnyFunSuite {
     // equality. Equal slices always collide (bucket is a function of
     // the slice); the converse can fail only on a 2^-64 bucket
     // collision between distinct slices — this pins its absence on
-    // both the planted fixture and the real documents table, so the
-    // two candidate sets are interchangeable for these corpora.
+    // the planted fixture AND both real documents tables, including
+    // sf0.01, the scale the driver's oracle gate actually compares at,
+    // so the two candidate sets are interchangeable for these corpora.
     for (d <- Seq(docs,
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))) {
       val rows = Dedup.minhashBands(d, n = 3, numHashes = 32, bands = 8)
         .select(col("doc_id").cast("long"), col("band"), col("bucket"), col("sig"))
         .as[(Long, Int, Long, Seq[Long])].collect()

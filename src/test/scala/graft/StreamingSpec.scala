@@ -166,15 +166,19 @@ class StreamingSpec extends AnyFunSuite {
       }
       mem.addData((1L, "dup text"))
       awaitKeepers(Seq(1L), "first sighting emits")
+      // tFirst is AFTER the first sighting's state write (we only
+      // observe the sink later), so (now - tFirst) underestimates the
+      // true state age — if even the underestimate exceeds ttlMs, the
+      // hash may have been legitimately evicted before doc 5's batch.
+      // MUST be captured before the progress poll below: that poll can
+      // absorb up to 5 s, and a tFirst taken after it would bias the
+      // stall measurement DOWN — misclassifying a tolerated >ttl host
+      // stall as within-horizon and hard-failing the drop assertion
+      val tFirst = System.currentTimeMillis
       // only keeper 1 has ever been emitted → the first output-bearing
       // batch is doc 1's; capture its engine timestamp now, before
       // later batches can push it out of recentProgress
       val batch1Ts = awaitProgress(() => outputBatchTimes().headOption)
-      // tFirst is AFTER the first sighting's state write (we only
-      // observe the sink later), so (now - tFirst) underestimates the
-      // true state age — if even the underestimate exceeds ttlMs, the
-      // hash may have been legitimately evicted before doc 5's batch
-      val tFirst = System.currentTimeMillis
       // within the TTL horizon the duplicate is still dropped: wait until
       // the duplicate's batch is fully processed (the marker doc from the
       // SAME addData call proves it), then check nothing extra appeared
