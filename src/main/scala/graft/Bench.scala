@@ -27,6 +27,29 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg")).split(" ").take(1).mkString)
       .getOrElse("?")
 
+  /** (steal, total) jiffies from /proc/stat — the hypervisor
+    * co-tenancy detector loadavg lacks: round-7 measurement found
+    * quiet-loadavg windows where 5-10% of busy CPU time was stolen by
+    * the host, depressing every 8-core-wide reading in BOTH scaling
+    * topologies while 2-core sides barely moved. Every bench artifact
+    * now carries the steal share over its own interval so such
+    * windows self-identify. */
+  def cpuJiffies: (Long, Long) =
+    scala.util.Try {
+      val f = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")).linesIterator.next()
+      val v = f.split("\\s+").drop(1).map(_.toLong)
+      (if (v.length > 7) v(7) else 0L, v.sum)
+    }.getOrElse((0L, 0L))
+
+  /** Percent of ALL cpu jiffies stolen since `start` (2 decimals;
+    * multiply by ncores/busycores mentally for the per-run impact). */
+  def stealPctSince(start: (Long, Long)): String = {
+    val (s0, t0) = start
+    val (s1, t1) = cpuJiffies
+    if (t1 <= t0) "?" else f"${100.0 * (s1 - s0) / (t1 - t0)}%.2f"
+  }
+
   /** xor of xxhash64 over EVERY output column — the per-query bench
     * checksum, shared with QueryGoldenSpec's committed goldens so the
     * measured artifact and the verified artifact are the same hash.
@@ -82,6 +105,17 @@ object Bench {
   def pipelineJob(spark: SparkSession, sfDir: String): Long =
     pipelineJobN(spark, PagesGen.rowsFor(sfDir))
 
+  /** tmpfs root if present and writable — ONE policy for every
+    * storage-placement decision (the bench shuffle dir here and
+    * SparkEntry's round-trip scratch), so a future capacity check or
+    * override lands everywhere at once. */
+  private[graft] def shmRoot: Option[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+      Some(p)
+    else None
+  }
+
   /** The local bench session — ONE recipe shared with [[StressBench]]
     * so both artifacts measure the same engine configuration (a conf
     * fix applied here cannot silently leave the stress numbers running
@@ -93,9 +127,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
-      builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+    shmRoot.foreach(r =>
+      builder.config("spark.local.dir", r.resolve("graft-shuffle").toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -112,6 +145,7 @@ object Bench {
     // engine by ~1.8× — carry the 1-minute loadavg at start and end so
     // a noisy sample self-identifies in the JSON instead
     val loadStart = loadavg
+    val jiffies0 = cpuJiffies
 
     // NORTH-METRIC HEADLINE at the 24M-row stress scale (round 7): the
     // sf0.1 job is <2 s warm and swung ~2× between QUIET runs across
@@ -125,6 +159,12 @@ object Bench {
     val headlineRows =
       sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ROWS", "24000000").toLong
     val pipelineRows = headlineRows / 4 // same 24M:6M ratio as StressBench
+    // the 24M-scale headline runs at StressBench's shuffle shape
+    // (cores × 4 over-decomposition — straggler insurance at this
+    // scale) so the two artifacts' rates are comparable numbers for
+    // the same plan; the per-query sf sweep below keeps its historical
+    // cores-wide shape for round-over-round comparability
+    spark.conf.set("spark.sql.shuffle.partitions", cpus * 4)
     // FULL-SIZE warm-up + best-of-4, the StressBench protocol: a
     // reduced-size warm-up left the first full-size sample 1.5-3×
     // slower than the second (C2 recompilation at the bigger shuffle
@@ -151,6 +191,7 @@ object Bench {
     // sf-scale headline samples (rounds ≤ 6 unit) for the queries
     // table — bridges old artifacts; single timed run each after the
     // 24M runs above have fully warmed the path
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     val (_, sfAssignSec) = time(tileAssignJob(spark, sfDir))
     val (_, sfPipelineSec) = time(pipelineJob(spark, sfDir))
 
@@ -217,6 +258,7 @@ object Bench {
       s""""assign_rows":$assignRows,"merged_rows":$mergedRows,""" +
       s""""queries":$qs,"sf":"$sfDir","cores":$cpus,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""steal_pct":"${stealPctSince(jiffies0)}",""" +
       s""""headline_samples":[${assignSamples.map(s => f"${s._2}%.3f").mkString(",")}],""" +
       s""""pipeline_samples":[${pipelineSamples.map(s => f"${s._2}%.3f").mkString(",")}],""" +
       s""""sf_headline_samples":[${f"$sfAssignSec%.3f"},${f"$sfPipelineSec%.3f"}],""" +

@@ -113,6 +113,7 @@ object ScalingBench {
     val mode = if (args.length > 3) args(3) else "both"
     if (mode == "n" || mode == "4n") {
       val nExec = if (mode == "n") 1 else 4
+      val jiffies0 = Bench.cpuJiffies
       // FULL-SIZE warm-up, best of 3: JIT compile threads scale with
       // the pinned ActiveProcessorCount, so a quarter-size warm-up left
       // the short 4N-side runs partially interpreted — systematically
@@ -126,7 +127,8 @@ object ScalingBench {
         s => Bench.pipelineJobN(s, nPipeline))).min
       println(f"""{"mode":"$mode","cores":${nExec * baseCores},""" +
         f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
-        f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"${Bench.loadavg}"}""")
+        f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,""" +
+        f""""load":"${Bench.loadavg}","steal_pct":"${Bench.stealPctSince(jiffies0)}"}""")
       return
     }
     report("tile_assign", nAssign,

@@ -32,13 +32,13 @@ object SparkEntry {
     * so repeated bench/verify runs can't accumulate in tmpfs. */
   private def scratchDir(prefix: String): String = {
     import java.nio.file.{Files, Paths}
-    val shm = Paths.get("/dev/shm")
-    val parent =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+    val parent = Bench.shmRoot match {
+      case Some(shm) =>
         val p = shm.resolve("graft-scratch")
         Files.createDirectories(p)
         p
-      } else Paths.get(System.getProperty("java.io.tmpdir"))
+      case None => Paths.get(System.getProperty("java.io.tmpdir"))
+    }
     val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
     val siblings = Files.list(parent)
     try {

@@ -2,11 +2,13 @@ package graft
 
 import scala.jdk.CollectionConverters._
 
-/** 10× DATA-scale stress for the two headline jobs at a fixed
-  * topology — the sandbox analogue of "would this plan survive a
-  * 100-TB input". Each job runs at the reference input size and at
-  * `factor`× that size in the same local[32] session shape the
-  * scaling bench uses; the artifact reports rows/sec at both sizes,
+/** 10× DATA-scale stress for the two headline jobs at one topology —
+  * the sandbox analogue of "would this plan survive a 100-TB input".
+  * Each job runs at the reference input size and at `factor`× that
+  * size in the shared Bench.localSession shape (SPARK_GRAFT_CPUS
+  * cores, default 32, × 4 shuffle over-decomposition — the JSON
+  * carries `cores` and `xmx_mb` so the artifact self-identifies its
+  * engine); it reports rows/sec at both sizes,
   * the data-scaling ratio (rate_big / rate_small — fixed costs
   * amortize, so a healthy plan holds ≳1; a knee means some stage
   * stopped streaming), and the peak JVM heap across the big runs (a
@@ -46,6 +48,7 @@ object StressBench {
       // sample BEFORE the warm-up so loadavg_start means the same
       // thing as Bench's: pre-work external load, not our own warm-up
       val loadBefore = Bench.loadavg
+      val jiffies0 = Bench.cpuJiffies
       run(small) // warm-up: JIT + codegen
       def best(n: Long): Double = (1 to runs).map { _ =>
         System.gc()
@@ -64,7 +67,9 @@ object StressBench {
         f""""rows_per_sec_small":$rateSmall,"rows_big":$big,"sec_big":$sBig%.2f,""" +
         f""""rows_per_sec_big":$rateBig,"rate_ratio_big_over_small":$ratio%.3f,""" +
         f""""peak_heap_mb_big":$peakMb,"runs":$runs,"cores":$cores,""" +
-        f""""loadavg_start":"$loadBefore","loadavg_end":"${Bench.loadavg}"}""")
+        f""""xmx_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},""" +
+        f""""loadavg_start":"$loadBefore","loadavg_end":"${Bench.loadavg}",""" +
+        f""""steal_pct":"${Bench.stealPctSince(jiffies0)}"}""")
     }
 
     stress("tile_assign", nAssign, n => { Bench.tileAssignJobN(spark, n); () })

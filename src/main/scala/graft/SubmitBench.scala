@@ -51,11 +51,13 @@ object SubmitBench {
       job // full-size warm-up (JIT at this cluster's thread count)
       (1 to 3).map { _ => System.gc(); Bench.time(job)._2 }.min
     }
+    val jiffies0 = Bench.cpuJiffies
     val aSec = bestOf(Bench.tileAssignJobN(spark, nAssign))
     val pSec = bestOf(Bench.pipelineJobN(spark, nPipeline))
     println(f"""{"master":"${spark.sparkContext.master}","cores":$cores,""" +
       f""""assign_rows":$nAssign,"assign_sec":$aSec%.3f,""" +
-      f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,"load":"${Bench.loadavg}"}""")
+      f""""pipeline_rows":$nPipeline,"pipeline_sec":$pSec%.3f,""" +
+      f""""load":"${Bench.loadavg}","steal_pct":"${Bench.stealPctSince(jiffies0)}"}""")
     spark.stop()
   }
 }

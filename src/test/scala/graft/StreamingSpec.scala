@@ -193,20 +193,18 @@ class StreamingSpec extends AnyFunSuite {
       // latency; it cannot be zero from sink observations alone)
       val stall = System.currentTimeMillis - tFirst
       val withinHorizon = keepers()
-      val stalledReadmit = withinHorizon == Seq(1L, 5L, 50L) && stall > ttlMs
-      if (stalledReadmit) {
-        // a >ttl host stall between the two batches evicted the hash
-        // first and re-admitted doc 5 — correct TTL behavior, just not
-        // the within-horizon scenario this assertion targets; don't
-        // fail the suite for host scheduling (the drop path is still
-        // exercised by the non-TTL dedup tests above). But "tolerated
-        // stall" must be the ENGINE's story too: doc 5's batch (the
-        // first output-bearing batch after doc 1's — 5 and 50 share an
-        // addData block, hence a micro-batch) must carry a trigger
-        // timestamp > ttl past doc 1's, or the state was evicted
-        // before its horizon and this is a premature re-admission no
-        // amount of sink latency excuses. 50 ms guard band for the
-        // trigger-start vs batchTimestampMs skew.
+      // classify an observed re-admission by the ENGINE's own batch
+      // timestamps when available: doc 5's batch (the first
+      // output-bearing batch after doc 1's — 5 and 50 share an addData
+      // block, hence a micro-batch) legitimately re-admits iff its
+      // trigger timestamp sits > ttl past doc 1's (that trigger clock
+      // is what the TTL arithmetic runs on; 50 ms guard band for the
+      // trigger-start vs batchTimestampMs skew). The sink-observed
+      // stall is only the FALLBACK classifier when recentProgress shed
+      // the bounding entries — it reads both batches late, so alone it
+      // can both excuse a premature eviction (stall inflated past ttl)
+      // and flake a legitimate one (tFirst lagging doc 1's batch).
+      val stalledReadmit = withinHorizon == Seq(1L, 5L, 50L) && {
         val batch5Ts = awaitProgress(() =>
           batch1Ts.flatMap(t1 => outputBatchTimes().find(_.isAfter(t1))))
         (batch1Ts, batch5Ts) match {
@@ -216,15 +214,21 @@ class StreamingSpec extends AnyFunSuite {
               s"doc 5 re-admitted but the engine's own batch timestamps are only " +
                 s"${span}ms apart (ttl ${ttlMs}ms) — premature state eviction, " +
                 "not a host stall")
-            info(s"host stalled ${stall}ms > ttl ${ttlMs}ms before doc 5's batch " +
-              s"(engine batch span ${span}ms confirms a legitimate eviction) — " +
-              "within-horizon drop not observable this run, skipping that assertion")
+            info(s"host stall (sink-observed ${stall}ms; engine batch span " +
+              s"${span}ms > ttl ${ttlMs}ms) evicted the hash before doc 5's " +
+              "batch — within-horizon drop not observable this run, skipping " +
+              "that assertion")
+            true
           case _ =>
-            info(s"host stalled ${stall}ms > ttl ${ttlMs}ms before doc 5's batch and " +
-              "recentProgress shed the bounding entries — within-horizon drop not " +
-              "observable this run, skipping that assertion")
+            val tolerated = stall > ttlMs
+            if (tolerated)
+              info(s"host stalled ${stall}ms > ttl ${ttlMs}ms before doc 5's batch " +
+                "and recentProgress shed the bounding entries — within-horizon " +
+                "drop not observable this run, skipping that assertion")
+            tolerated
         }
-      } else
+      }
+      if (!stalledReadmit)
         assert(withinHorizon === Seq(1L, 50L), "duplicate within TTL horizon is dropped")
       // let the TTL lapse; the engine's continuous timeout batches evict
       // the idle hash, and the next sighting is re-admitted fresh
