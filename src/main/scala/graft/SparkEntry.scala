@@ -566,7 +566,14 @@ object SparkEntry {
       val sink = s"stream_dedup_sink_${System.nanoTime}" // unique per invocation
       val q = streaming.StreamingIngest.streamingDedup(mem.toDF.toDF("doc_id", "text"))
         .toDF("h", "keeper")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        // checkpoint on tmpfs (same scratch policy as the round-trip
+        // queries): without the option Spark places the offset/commit
+        // log + state store under java.io.tmpdir — real disk writes
+        // and fsyncs per micro-batch that are pure overhead for this
+        // in-session query (guide §6 I/O placement; no result change)
+        .option("checkpointLocation", scratchDir("ckpt_q"))
+        .start()
       try {
         // ceiling division: floor would spill a 4th one-row batch
         // whenever the count isn't divisible by 3

@@ -89,6 +89,76 @@ case class CoveringTiles(x: Expression, y: Expression, spec: TileGridSpec)
     copy(x = l, y = r)
 }
 
+/** Static kernel behind [[DotProduct]] — lives in a top-level object so
+  * generated Java calls the static forwarder directly. */
+object DotKernel {
+  /** Bit-exact replica of the HOF formulation
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+    *            0.0, (acc, v) => acc + v)`:
+    * left-to-right double accumulation over paired elements, each
+    * widened to double before the multiply. zip_with pads the shorter
+    * array with nulls and `acc + null` is null forever, so the result
+    * is NULL (boxed null here) iff lengths differ or any paired
+    * element is null — exactly the HOF's null semantics. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Double dot product of two numeric arrays (float or double
+  * elements), replacing the interpreted `aggregate(zip_with(...))`
+  * higher-order-function formulation on the ANN hot path: the HOFs
+  * allocate an intermediate array and evaluate two lambdas per element
+  * per row, where this expression is one straight-line loop — same
+  * IEEE result bit for bit (see [[DotKernel.dot]]). Codegen'd via a
+  * static call, so the surrounding projection stays whole-stage. */
+case class DotProduct(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // the result can be null even for non-null inputs (length mismatch /
+  // null elements), so nullable must not derive from the children —
+  // codegen needs a real isNull slot
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"dot_product needs ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+  private lazy val aFloat = elemIsFloat(a)
+  private lazy val bFloat = elemIsFloat(b)
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any =
+    DotKernel.dot(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dotRes")
+    nullSafeCodeGen(ctx, ev, (av, bv) =>
+      s"""java.lang.Double $boxed =
+         |  graft.functions.DotKernel.dot($av, $bv, $aFloat, $bFloat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
 /** Even-odd ray-casting point-in-polygon over a flat coords array
   * (x0,y0,x1,y1,...). Interpreted (`CodegenFallback`) — polygon clipping
   * math stays out of generated Java, but the expression still sits

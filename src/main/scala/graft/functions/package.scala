@@ -31,6 +31,12 @@ package object functions {
   /** Grid y-coordinate decoded from a cell id (Morton deinterleave). */
   def cell_iy(cell: Column): Column = toCol(CellCoord(toExpr(cell), 1))
 
+  /** Double dot product of two float/double array columns — the
+    * codegen'd replacement of the `aggregate(zip_with(...))` HOF
+    * formulation (bit-identical result; see [[DotKernel.dot]]). */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
   /** Ray-casting point-in-polygon (flat coords array). */
   def st_contains_point(poly: Column, x: Column, y: Column): Column =
     toCol(STContainsPoint(toExpr(poly), toExpr(x), toExpr(y)))

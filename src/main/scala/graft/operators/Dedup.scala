@@ -97,14 +97,45 @@ object Dedup {
     * (integer → engine-exact for the oracle). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, thrMilli: Int = 500,
                         maxDf: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = shingles(docs, n)
     // per-doc distinct-shingle counts: narrow second scan of the
     // source (no shuffle) — cheaper than aggregating the shingle rows
     val sizes = shingleCounts(docs, n)
-    val cold = dropHotKeys(sh, Seq("shingle"), maxDf)
-    val pairs = cold.as("l").join(cold.as("r"), col("l.shingle") === col("r.shingle"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // ONE exchange builds the inverted index (shingle → posting list);
+    // the hot-shingle cap is the same size(postings) > maxDf test the
+    // old dropHotKeys agg + anti-join computed in two extra passes,
+    // and pair generation walks each cold posting list directly
+    // instead of re-shuffling every (doc, shingle) row through a
+    // self-join. Pair SET and per-pair `common` counts are identical:
+    // a pair is emitted once per shared cold shingle either way (the
+    // posting list is sorted first, so a < b like the join's filter).
+    val pairs = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .select(col("ids")).as[Seq[Long]]
+      .mapPartitions { lists =>
+        lists.flatMap { ids0 =>
+          val ids = ids0.toArray
+          java.util.Arrays.sort(ids)
+          new Iterator[(Long, Long)] {
+            private var i = 0
+            private var j = 1
+            def hasNext: Boolean = i < ids.length - 1
+            def next(): (Long, Long) = {
+              val p = (ids(i), ids(j))
+              j += 1
+              if (j >= ids.length) { i += 1; j = i + 1 }
+              p
+            }
+          }
+        }
+      }.toDF("a", "b")
+      // strict a < b exactly like the old join's filter: a degenerate
+      // input with repeated doc_ids must not emit (x, x) pairs
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), Seq("a"))

@@ -27,6 +27,12 @@ object Multimodal {
 
   /** REAL decode for JDK-supported formats (headless-safe). */
   object JdkCodec {
+    // ImageIO's default ImageInputStream cache is a TEMP FILE per
+    // stream — for in-memory byte-array payloads that is pure disk
+    // overhead (create+write+delete a file per image, ~2000/query).
+    // The memory cache decodes identical pixels. Executor-side static
+    // init: runs once per JVM when the codec class loads.
+    javax.imageio.ImageIO.setUseCache(false)
     /** Magic-byte container sniff; "unknown" → stub path. */
     def sniff(p: Array[Byte]): String = {
       if (p == null || p.length < 12) return "unknown"
@@ -66,18 +72,19 @@ object Multimodal {
         } finally { reader.dispose(); iis.close() }
       } catch { case _: Exception => None }
 
-    /** Exact per-channel pixel sums (the oracle-checked quantity). */
+    /** Exact per-channel pixel sums (the oracle-checked quantity).
+      * Bulk getRGB: the per-pixel getRGB(x, y) path goes through the
+      * ColorModel once per pixel (~3M slow calls per 2000-image query);
+      * the bulk overload converts whole rows and returns the IDENTICAL
+      * packed-ARGB values. */
     def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
       var r = 0L; var g = 0L; var b = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        i += 1
       }
       (r, g, b)
     }
@@ -109,17 +116,15 @@ object Multimodal {
     /** Integer-exact grayscale (luma ×1000 rounded down) byte plane —
       * deterministic input to the engine's own resample kernel. */
     def grayPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val out = new Array[Byte](img.getWidth * img.getHeight)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          out(y * img.getWidth + x) =
-            ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000).toByte
-          x += 1
-        }
-        y += 1
+      // bulk getRGB (identical packed-ARGB values, see channelSums)
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      val out = new Array[Byte](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        out(i) =
+          ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000).toByte
+        i += 1
       }
       out
     }

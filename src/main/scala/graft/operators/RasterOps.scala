@@ -83,15 +83,13 @@ object RasterOps {
         var any = false
         it.foreach { c =>
           val v = math.min(255, math.round(c.score * 255)).toByte
-          // crown polygon in tile-local raster coords
+          // crown polygon in tile-local raster coords; bbox-windowed
+          // scanline max-blend — pixel-identical to rasterize + full
+          // blend, but scans the crown's few rows instead of the whole
+          // 128² tile per crown (see Raster.rasterizeMaxInto)
           val local = Geom.affine(c.poly, 1.0 / gsd, 0, 0, 1.0 / gsd,
             -tile.minX.toDouble / gsd, -tile.minY.toDouble / gsd)
-          val mask = Raster.rasterize(local, cols, cols)
-          var i = 0
-          while (i < mask.length) {
-            if (mask(i) != 0 && (data(i) & 0xff) < (v & 0xff)) data(i) = v
-            i += 1
-          }
+          Raster.rasterizeMaxInto(local, cols, cols, data, v)
           any = true
         }
         if (!any) Iterator.empty

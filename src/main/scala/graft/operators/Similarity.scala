@@ -17,10 +17,13 @@ import graft.operators.CrownOps.mix64
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two float-array columns. Was the
+    * HOF formulation `aggregate(zip_with(a, b, (x, y) => x.castD *
+    * y.castD), 0.0, _ + _)` — interpreted lambdas plus an intermediate
+    * array per row per pair; the DotProduct expression runs the same
+    * left-to-right double fold as one codegen'd static call
+    * (bit-identical output, asserted by OpsSpec's HOF-parity test). */
+  def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -161,16 +164,56 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(centroids.nonEmpty, "kmeans needs a non-empty embedding table")
+    val session = emb.sparkSession
+    import session.implicits._
+    val dim = centroids(0).length
     var it = 0
     while (it < iters) {
-      val assigned = assignClusters(e, centroids)
-      val upd = assigned
-        .select(col("cluster"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("v"))
-        .collect()
+      // FUSED assign + partial-update in ONE narrow pass: the previous
+      // shape ran assignClusters then posexplode → groupBy(cluster,
+      // pos) → avg — a second full pass over the corpus plus a
+      // rows×dim explode and an exchange per Lloyd iteration. Here
+      // each partition accumulates (count, sum-vector) per cluster
+      // while assigning, and only k×(dim+1) scalars per partition are
+      // collected. Centroid means combine per-partition sums in
+      // partition order — a different (and at least as deterministic)
+      // summation order than the hash-agg merge, shifting means by
+      // ≤ ~1e-13 relative: four orders below the measured 3.7e-6
+      // argmin margin (see SparkEntry.kmeansSqlCtes), so assignments
+      // and all integer outputs are unchanged (oracle-checked).
+      val cents = centroids
+      val partials = e.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val counts = new Array[Long](cents.length)
+          val sums = Array.ofDim[Double](cents.length, dim)
+          rows.foreach { case (_, emb) =>
+            val c = nearestCentroid(emb, cents)
+            counts(c) += 1
+            val s = sums(c)
+            var i = 0
+            while (i < dim) { s(i) += emb(i); i += 1 }
+          }
+          Iterator.range(0, cents.length)
+            .filter(counts(_) > 0)
+            .map(c => (c, counts(c), sums(c)))
+        }.collect()
+      val totCount = new Array[Long](centroids.length)
+      val totSum = Array.ofDim[Double](centroids.length, dim)
+      partials.foreach { case (c, n, s) =>
+        totCount(c) += n
+        var i = 0
+        while (i < dim) { totSum(c)(i) += s(i); i += 1 }
+      }
       val next = centroids.map(_.clone())
-      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var c = 0
+      while (c < next.length) {
+        if (totCount(c) > 0) {
+          var i = 0
+          while (i < dim) { next(c)(i) = totSum(c)(i) / totCount(c); i += 1 }
+        }
+        c += 1
+      }
       centroids = next
       it += 1
     }

@@ -23,8 +23,27 @@ object TextOps {
     "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "です"))
 
   /** Heuristic language id: score = #tokens in each profile; argmax
-    * (ties → lexicographically first language), 'und' when no hit. */
+    * (ties → lexicographically first language), 'und' when no hit.
+    *
+    * Tokenization stays the built-in `split(lower(text), ...)` (so it
+    * can never drift from the oracle's replica); the 8-profile scoring
+    * + argmax — previously 8 × `filter(toks, isin(10 words))` HOFs
+    * plus a `sort_array` over 8 structs per row, all interpreted — is
+    * one [[LangIdPick]] expression doing a single hash-map pass over
+    * the tokens (identical result: same membership test, same
+    * alphabetical tie-break, same 'und' fallback; parity with the HOF
+    * formulation is asserted by OpsSpec on the sf0.01 corpus). */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), "[\\s\\p{Punct}]+")
+    docs.withColumn("pred_lang",
+      org.apache.spark.sql.graft.Bridge.column(
+        LangIdPick(org.apache.spark.sql.graft.Bridge.expression(toks))))
+  }
+
+  /** The HOF formulation [[langId]] replaced — kept as the reference
+    * for the OpsSpec parity pin (one definition each, compared on the
+    * real corpus). */
+  private[graft] def langIdHof(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(lower(col(textCol)), "[\\s\\p{Punct}]+")
     val langs = Profiles.toSeq.sortBy(_._1)
     // prio descends with lexicographic rank so the descending struct
@@ -69,6 +88,60 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Static lookup behind [[LangIdPick]]: token → bitmask of profile
+    * languages containing it, over the alphabetically sorted language
+    * list (the argmax order). Built once per JVM. */
+  private[operators] object LangIdKernel {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sortedLangs: Array[String] = Profiles.keys.toArray.sorted
+    val langStrings: Array[UTF8String] =
+      sortedLangs.map(UTF8String.fromString)
+    val Und: UTF8String = UTF8String.fromString("und")
+    private val wordMask: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer]()
+      sortedLangs.zipWithIndex.foreach { case (lang, i) =>
+        Profiles(lang).foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) (1 << i) else (prev | (1 << i)))
+        }
+      }
+      m
+    }
+
+    /** Argmax language over token membership counts — identical to the
+      * HOF formulation: per-language score = count of tokens in that
+      * profile (duplicates count), max score wins, ties go to the
+      * alphabetically first language, score 0 → "und". Null token
+      * elements score nothing (isin(null) is null → filter drops). */
+    def pick(toks: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+      val counts = new Array[Int](sortedLangs.length)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          val m = wordMask.get(toks.getUTF8String(i))
+          if (m != null) {
+            var bits = m.intValue()
+            while (bits != 0) {
+              val b = java.lang.Integer.numberOfTrailingZeros(bits)
+              counts(b) += 1
+              bits &= bits - 1
+            }
+          }
+        }
+        i += 1
+      }
+      var best = 0
+      var bi = 1
+      while (bi < counts.length) {
+        if (counts(bi) > counts(best)) best = bi // strict >: first wins ties
+        bi += 1
+      }
+      if (counts(best) <= 0) Und else langStrings(best)
+    }
+  }
+
   /** Karp–Rabin polynomial rolling-hash document fingerprint: left fold
     * h = (h·131 + codepoint) mod 1e9+7 — order-sensitive (unlike md5
     * bucketing it supports incremental/windowed extension). One linear
@@ -100,4 +173,29 @@ object TextOps {
         }
       }.toDF("doc_id", "fingerprint")
   }
+}
+
+/** Language pick over a pre-split token array (see
+  * [[TextOps.langId]]): one interpreted expression call running a
+  * single hash-map pass, replacing 8 interpreted `filter`+`isin` HOFs
+  * and a struct `sort_array` per row. Tokenization is NOT part of this
+  * expression — the child stays the built-in `split(lower(text))`, so
+  * the token stream is byte-identical to the oracle replica's. Null
+  * input (null text) yields "und", matching the HOF formulation's
+  * `when(score > 0, lang).otherwise('und')` on an all-null score row. */
+case class LangIdPick(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lang_id_pick"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextOps.LangIdKernel.Und
+    else TextOps.LangIdKernel.pick(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): LangIdPick = copy(child = c)
 }

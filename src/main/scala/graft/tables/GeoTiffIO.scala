@@ -108,7 +108,12 @@ object GeoTiffIO {
         r += 1
       }
       if (deflate) {
-        val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+        // BEST_SPEED: the payload is a sparse uint8 confidence plane
+        // (mostly zero runs) where level 1 compresses within a few % of
+        // level 6 at a fraction of the CPU; any zlib level inflates to
+        // the identical pixels, so readers (and the pinned round-trip
+        // hash, which covers decoded px sums) are unaffected.
+        val d = new Deflater(Deflater.BEST_SPEED)
         d.setInput(raw); d.finish()
         // Proper deflate bound: zlib worst case (stored blocks) is
         // ~6 + 5*ceil(len/65535) bytes of overhead — a fixed +64 slack

@@ -452,4 +452,57 @@ class OpsSpec extends AnyFunSuite {
         s(p.toInt) + (p - p.toInt) * (s(p.toInt + 1) - s(p.toInt))
       }).toLong)
   }
+  test("DotProduct expression bit-matches the aggregate(zip_with) HOF formulation") {
+    // the HOF formulation DotProduct replaced — one definition here as
+    // the reference; compared on the REAL sf0.01 embeddings (the
+    // driver's oracle-gate scale) plus edge shapes
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // float×float (self) and float×double (vs a literal plane) — the
+    // two type combinations the ANN suite uses
+    val plane = typedlit(Array.tabulate(64)(d => (d * 0.37) - 9.0))
+    val cmp = emb.select(
+      graft.functions.dot_product(col("embedding"), col("embedding")).as("n1"),
+      hofDot(col("embedding"), col("embedding")).as("n2"),
+      graft.functions.dot_product(col("embedding"), plane).as("p1"),
+      hofDot(col("embedding"), plane).as("p2"))
+    // bit-exact: compare raw IEEE bits, not ≈
+    val bad = cmp.filter(
+      expr("cast(n1 as string) != cast(n2 as string) or cast(p1 as string) != cast(p2 as string)"))
+      .count()
+    assert(bad === 0L)
+    // null semantics: length mismatch and null element both yield NULL
+    val edge = spark.sql(
+      """SELECT cast(array(1.0, 2.0) as array<float>) a, cast(array(3.0) as array<float>) b
+        |UNION ALL SELECT cast(array(1.0, null) as array<float>), cast(array(3.0, 4.0) as array<float>)
+        |UNION ALL SELECT cast(array() as array<float>), cast(array() as array<float>)""".stripMargin)
+    val e = edge.select(
+      graft.functions.dot_product(col("a"), col("b")).as("d1"),
+      hofDot(col("a"), col("b")).as("d2")).collect()
+    e.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+  }
+
+  test("LangIdPick bit-matches the 8-profile HOF formulation on the oracle-gate corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val edge = Seq(
+      (9001L, "the der"),          // en/de tie -> alphabetically first (de)
+      (9002L, "le la y"),          // fr 2 vs es 2 ('la' + 'y'?) exercises overlap words
+      (9003L, ""),                 // empty -> und
+      (9004L, "...!!!   ,,,"),     // punct-only -> und
+      (9005L, null.asInstanceOf[String]), // null text -> und
+      (9006L, "o a de que e"),     // pt-heavy with es overlaps
+      (9007L, "WORD the THE tHe")) // case folding
+      .toDF("doc_id", "text")
+    for (df <- Seq(real.select("doc_id", "text"), edge)) {
+      val a = TextOps.langId(df).select("doc_id", "pred_lang")
+      val b = TextOps.langIdHof(df).select("doc_id", "pred_lang")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "LangIdPick diverged from the HOF reference")
+    }
+  }
 }
