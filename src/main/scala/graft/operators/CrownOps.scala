@@ -187,17 +187,52 @@ object CrownOps {
   /** IoU between possibly-merged instances: exact convex clip for the
     * single-part pair; 1-px rasterized mask IoU otherwise (pixel
     * semantics — the reference's source geometry is masks). */
-  def instIoU(a: Inst, b: Inst): Double = {
+  def instIoU(a: Inst, b: Inst): Double = instIoUCached(a, b, null)
+
+  /** One-slot memo of instance `a`'s rasterized mask, keyed by the
+    * pair-union bbox alignment (mask pixels sample at centers relative
+    * to bb.min, so the mask is only reusable at the EXACT same
+    * alignment — which is the common case in splitLocal's partner
+    * scan, where the accreted blob's bbox contains each small
+    * candidate's). Pure memoization: the cached bytes are identical to
+    * a fresh rasterization, so IoU values — and merge decisions — are
+    * unchanged. */
+  private final class MaskCache {
+    var keyX: Double = Double.NaN
+    var keyY: Double = Double.NaN
+    var rows: Int = -1
+    var cols: Int = -1
+    var mask: Array[Byte] = null
+  }
+
+  private def instIoUCached(a: Inst, b: Inst, aCache: MaskCache): Double = {
     if (!a.bbox.intersects(b.bbox)) return 0.0
     if (a.parts.size == 1 && b.parts.size == 1)
       return Geom.iouConvex(a.parts.head, b.parts.head)
     val bb = a.bbox.union(b.bbox)
     val cols = math.max(1, math.ceil(bb.maxX - bb.minX).toInt)
     val rows = math.max(1, math.ceil(bb.maxY - bb.minY).toInt)
-    val ma = new Array[Byte](rows * cols)
+    // each part is one ring: the bbox-row-bounded max-fill writes the
+    // identical pixels as rasterize() + implicit OR (see
+    // Raster.rasterizeMaxInto), without scanning the rows the part
+    // cannot touch — the dominant cost when a small part sits in a
+    // large union bbox (dense dissolve components)
+    val ma =
+      if (aCache != null && aCache.keyX == bb.minX && aCache.keyY == bb.minY &&
+          aCache.rows == rows && aCache.cols == cols) aCache.mask
+      else {
+        val m = new Array[Byte](rows * cols)
+        a.parts.foreach(p =>
+          Raster.rasterizeMaxInto(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, m, 1))
+        if (aCache != null) {
+          aCache.keyX = bb.minX; aCache.keyY = bb.minY
+          aCache.rows = rows; aCache.cols = cols; aCache.mask = m
+        }
+        m
+      }
     val mb = new Array[Byte](rows * cols)
-    a.parts.foreach(p => Raster.rasterize(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, ma))
-    b.parts.foreach(p => Raster.rasterize(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, mb))
+    b.parts.foreach(p =>
+      Raster.rasterizeMaxInto(Geom.translate(p, -bb.minX, -bb.minY), rows, cols, mb, 1))
     var inter = 0L; var union = 0L
     var i = 0
     while (i < ma.length) {
@@ -357,8 +392,13 @@ object CrownOps {
       val a = work.remove(work.size - 1)
       var partner = -1
       var idx = 0
+      // `a` is fixed for the whole partner scan: memoize its mask per
+      // union-bbox alignment (hit whenever a's bbox contains the
+      // candidate's — the dense-component common case). Same IoU
+      // values, same first-partner pick.
+      val aMask = new MaskCache
       while (partner < 0 && idx < work.size) {
-        if (instIoU(a, work(idx)) >= iouThr) partner = idx
+        if (instIoUCached(a, work(idx), aMask) >= iouThr) partner = idx
         idx += 1
       }
       if (partner < 0) merged += a
@@ -419,14 +459,35 @@ object CrownOps {
     * `geom` empty / `perimeter` 0.0. Use it for count/stats consumers
     * that never read the rings; fixture serialization keeps the
     * default. */
+  /** The columns NMS + merge actually read — shuffled INSTEAD of the
+    * full Crown row (drops pageId, tileId and the classScores array:
+    * ~25% of the exchanged bytes; guide §2.3 "project before the
+    * exchange", which the typed groupByKey otherwise defeats). */
+  private[operators] final case class SlimCrown(
+      region: Long, crownId: Long, classIdx: Int, score: Double,
+      minX: Double, minY: Double, maxX: Double, maxY: Double,
+      poly: Array[Double])
+
+  private def reinflate(s: SlimCrown): Crown =
+    Crown(s.region, s.crownId, 0L, 0L, s.classIdx, s.score,
+      s.minX, s.minY, s.maxX, s.maxY, s.poly)
+
   def nmsMerge(spark: SparkSession, crowns: Dataset[Crown], nmsIou: Double,
                confThr: Double, mergeIou: Double,
                emitGeom: Boolean = true): Dataset[MergedCrown] = {
     import spark.implicits._
-    crowns.groupByKey(c => (c.region, c.classIdx))
-      .flatMapGroups((key: (Long, Int), it: Iterator[Crown]) => {
+    // MergedCrown reads nothing from pageId/tileId/classScores, and
+    // nmsLocal/mergeLocal read only (crownId, classIdx, score, bbox,
+    // poly) — so the group exchange ships SlimCrown and the group-side
+    // Crowns are reinflated with zeroed pass-through fields (identical
+    // NMS order, merge decisions and output rows)
+    crowns
+      .map(c => SlimCrown(c.region, c.crownId, c.classIdx, c.score,
+        c.minX, c.minY, c.maxX, c.maxY, c.poly))
+      .groupByKey(c => (c.region, c.classIdx))
+      .flatMapGroups((key: (Long, Int), it: Iterator[SlimCrown]) => {
         val (region, classIdx) = key
-        val kept = nmsLocal(it.toIndexedSeq, nmsIou)
+        val kept = nmsLocal(it.map(reinflate).toIndexedSeq, nmsIou)
         mergeLocal(kept, classIdx, confThr, mergeIou)
           .iterator.map(toMerged(region, classIdx, _, emitGeom))
       })
@@ -451,7 +512,9 @@ object CrownOps {
       val cols = math.max(1, math.ceil(bb.maxX - ox).toInt)
       val rows = math.max(1, math.ceil(bb.maxY - oy).toInt)
       val mask = new Array[Byte](rows * cols)
-      inst.parts.foreach(p => Raster.rasterize(Geom.translate(p, -ox, -oy), rows, cols, mask))
+      // row-bounded per-part fill — identical pixels to rasterize()
+      inst.parts.foreach(p =>
+        Raster.rasterizeMaxInto(Geom.translate(p, -ox, -oy), rows, cols, mask, 1))
       var area = 0L
       var i = 0
       while (i < mask.length) { area += mask(i); i += 1 }
