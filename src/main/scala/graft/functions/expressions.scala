@@ -116,6 +116,48 @@ object DotKernel {
   }
 }
 
+/** Static kernel behind [[Md5Fast]]. */
+object HashKernels {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Lowercase-hex MD5 — byte-identical to commons-codec's
+    * `DigestUtils.md5Hex` (the built-in `md5` expression's kernel),
+    * but the MessageDigest is thread-local instead of
+    * `MessageDigest.getInstance("MD5")` per row. */
+  def md5Hex(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val d = tl.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(h(i) & 0xf)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+}
+
+/** MD5 hex digest of a BINARY child — value-identical to the built-in
+  * `md5` (same digest, same lowercase hex), minus its per-row
+  * `MessageDigest.getInstance` (a provider lookup per row on the
+  * generator hot path — the pages table computes md5(url) for every
+  * row of every pages-derived query). */
+case class Md5Fast(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_fast"
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.md5Hex(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Hex($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Double dot product of two numeric arrays (float or double
   * elements), replacing the interpreted `aggregate(zip_with(...))`
   * higher-order-function formulation on the ANN hot path: the HOFs

@@ -73,16 +73,27 @@ object PagesGen {
   /** The generator's column logic over any (i BIGINT) relation — shared
     * by the batch `range` path and the streaming ingest path. */
   def projectColumns(base: DataFrame): DataFrame = {
+    import graft.functions.md5_fast
+    // url: %04d/%08d zero-padding as concat+lpad — byte-identical to
+    // format_string for every i ≥ 0 (the host part is always < 1000 →
+    // 4 digits; the page part falls back to the bare decimal once it
+    // outgrows 8 digits exactly like %08d), without the per-row
+    // java.util.Formatter the format_string expression instantiates
+    // (measured ~2× the whole url projection at 24M rows). md5_fast is
+    // the built-in md5 minus its per-row MessageDigest.getInstance.
+    val pageDigits = col("i").cast("string")
     base
-      .withColumn("url", format_string("https://host-%04d.example/page-%08d",
-        col("i") % 1000, col("i")))
+      .withColumn("url", concat(lit("https://host-"),
+        lpad((col("i") % 1000).cast("string"), 4, "0"),
+        lit(".example/page-"),
+        when(length(pageDigits) > 8, pageDigits).otherwise(lpad(pageDigits, 8, "0"))))
       .withColumn("warc_ts", timestamp_seconds(lit(1609459200L) + (col("i") * 37) % 31536000))
       .withColumn("lang", langExpr)
       .withColumn("text",
         concat(lit("url="), col("url"), lit(" lang="), col("lang"), lit(" body="),
-          repeat(concat(substring(md5(col("url")), 1, 8), lit(" ")),
+          repeat(concat(substring(md5_fast(col("url")), 1, 8), lit(" ")),
             (lit(1) + col("i") % 7).cast("int")),
-          md5(col("url"))))
+          md5_fast(col("url"))))
       .withColumn("html", encode(col("text"), "utf-8"))
       .withColumn("x",
         when(col("i") % 41 === 0, lit(640) + col("i") % 13)

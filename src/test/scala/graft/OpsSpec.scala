@@ -505,4 +505,22 @@ class OpsSpec extends AnyFunSuite {
         "LangIdPick diverged from the HOF reference")
     }
   }
+  test("PagesGen url/md5 rewrite is byte-identical to the format_string + built-in md5 form") {
+    // the formulation projectColumns replaced, over an i range that
+    // crosses the %08d 8-digit boundary (StressBench reaches i>1e8)
+    val idx = (0L until 2000L) ++ Seq(99999998L, 99999999L, 100000000L, 240000000L, 987654321L)
+    val base = spark.createDataset(idx).toDF("i")
+    val ref = base
+      .withColumn("url_ref", format_string("https://host-%04d.example/page-%08d",
+        col("i") % 1000, col("i")))
+      .withColumn("md5_ref", md5(col("url_ref")))
+    val got = graft.tables.PagesGen.projectColumns(base)
+      .select(col("i"), col("url"), col("text"))
+      .join(ref, Seq("i"))
+      .withColumn("md5_fast_v", graft.functions.md5_fast(col("url")))
+    val bad = got.filter(col("url") =!= col("url_ref") ||
+      col("md5_fast_v") =!= col("md5_ref") ||
+      !col("text").contains(col("md5_ref"))).count()
+    assert(bad === 0L)
+  }
 }
