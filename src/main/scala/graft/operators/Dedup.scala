@@ -99,10 +99,25 @@ object Dedup {
                         maxDf: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingles(docs, n)
-    // per-doc distinct-shingle counts: narrow second scan of the
-    // source (no shuffle) — cheaper than aggregating the shingle rows
-    val sizes = shingleCounts(docs, n)
+    // (doc_id, sz, shingle): the doc's distinct-shingle count rides
+    // with every shingle row, so the pair stage needs NO join back to
+    // a sizes table (the old shape re-scanned the source for sizes and
+    // joined it twice). sz is a pure function of doc_id, so grouping
+    // pairs by (a, na, b, nb) below groups exactly by (a, b).
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val seen = new java.util.LinkedHashSet[String]()
+          eachShingle(text, n)(s => { seen.add(s); () })
+          val sz = seen.size.toLong
+          val it = seen.iterator()
+          new Iterator[(Long, Long, String)] {
+            def hasNext: Boolean = it.hasNext
+            def next(): (Long, Long, String) = (id, sz, it.next())
+          }
+        }
+      }.toDF("doc_id", "sz", "shingle")
     // ONE exchange builds the inverted index (shingle → posting list);
     // the hot-shingle cap is the same size(postings) > maxDf test the
     // old dropHotKeys agg + anti-join computed in two extra passes,
@@ -111,35 +126,31 @@ object Dedup {
     // self-join. Pair SET and per-pair `common` counts are identical:
     // a pair is emitted once per shared cold shingle either way (the
     // posting list is sorted first, so a < b like the join's filter).
-    val pairs = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    sh.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
       .filter(size(col("ids")) <= maxDf)
-      .select(col("ids")).as[Seq[Long]]
+      .select(col("ids")).as[Seq[(Long, Long)]]
       .mapPartitions { lists =>
         lists.flatMap { ids0 =>
-          val ids = ids0.toArray
-          java.util.Arrays.sort(ids)
-          new Iterator[(Long, Long)] {
+          val ids = ids0.toArray.sortBy(_._1)
+          new Iterator[(Long, Long, Long, Long)] {
             private var i = 0
             private var j = 1
             def hasNext: Boolean = i < ids.length - 1
-            def next(): (Long, Long) = {
-              val p = (ids(i), ids(j))
+            def next(): (Long, Long, Long, Long) = {
+              val p = (ids(i)._1, ids(j)._1, ids(i)._2, ids(j)._2)
               j += 1
               if (j >= ids.length) { i += 1; j = i + 1 }
               p
             }
           }
         }
-      }.toDF("a", "b")
+      }.toDF("a", "b", "na", "nb")
       // strict a < b exactly like the old join's filter: a degenerate
       // input with repeated doc_ids must not emit (x, x) pairs
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("nb")), Seq("b"))
       .withColumn("jac_milli",
         floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("jac_milli") >= thrMilli)

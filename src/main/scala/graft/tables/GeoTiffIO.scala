@@ -397,6 +397,11 @@ object GeoTiffIO {
       if (it.hasNext) {
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(bc.value.value)
+        // local/checksum filesystems otherwise write a .crc sibling
+        // per .tif (double the file count + a CRC pass over every
+        // payload byte); the TIFF bytes are unchanged and the
+        // binaryFile re-scan never reads .crc files
+        fs.setWriteChecksum(false)
         fs.mkdirs(base)
         it.foreach { t =>
           val p = new org.apache.hadoop.fs.Path(base,
