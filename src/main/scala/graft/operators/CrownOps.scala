@@ -481,7 +481,16 @@ object CrownOps {
     // poly) — so the group exchange ships SlimCrown and the group-side
     // Crowns are reinflated with zeroed pass-through fields (identical
     // NMS order, merge decisions and output rows)
+    // confidence pre-filter BEFORE the exchange: mergeLocal drops
+    // score <= confThr instances anyway, and in descending-score NMS a
+    // crown can only be suppressed by a HIGHER-scoring kept crown — so
+    // sub-threshold crowns never influence which above-threshold
+    // crowns survive. Filtering them here (same strict > predicate)
+    // removes ~28% of the shuffled rows and of the NMS work with
+    // provably identical merged output. nms() standalone keeps the
+    // full input (its contract returns sub-threshold kept crowns).
     crowns
+      .filter(c => c.score > confThr)
       .map(c => SlimCrown(c.region, c.crownId, c.classIdx, c.score,
         c.minX, c.minY, c.maxX, c.maxY, c.poly))
       .groupByKey(c => (c.region, c.classIdx))

@@ -287,17 +287,20 @@ object Dedup {
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val banded = dropHotKeys(minhashBands(docs, n, numHashes, bands),
       Seq("band", "bucket"), maxBucket)
-    val cand = banded.as("l").join(banded.as("r"),
+    // est is a pure function of (a, b) — one signature per doc — so
+    // computing it BEFORE the distinct (per band collision instead of
+    // per pair) lets the threshold filter drop most candidates ahead
+    // of the dedup exchange, which then ships (a, b, est) scalars
+    // instead of two 32-element signature arrays per row. distinct on
+    // (a, b, est) ≡ distinct on (a, b); output rows identical.
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .distinct()
-    cand
-      .withColumn("est_milli",
-        floor(lit(1000) * size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), identity(_))) / numHashes).cast("long"))
+        floor(lit(1000) * size(filter(zip_with(col("l.sig"), col("r.sig"),
+          (x, y) => x === y), identity(_))) / numHashes).cast("long").as("est_milli"))
       .filter(col("est_milli") >= thrMilli)
+      .distinct()
       .select("a", "b", "est_milli")
   }
 
@@ -394,14 +397,16 @@ object Dedup {
         "pass maxBucket (and audit with hotSimhashBuckets) or use maxHamming <= 3")
     val chunked = dropHotKeys(simhashChunks(docs, maxHamming),
       Seq("chunk", "v"), maxBucket)
+    // hamming is a pure function of (a, b): compute it per chunk
+    // collision and filter BEFORE the dedup exchange (same move as
+    // minhashLshPairs — distinct on (a, b, hamming) ≡ (a, b))
     chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.v") === col("r.v") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("a", "b", "hamming")
   }
 }
