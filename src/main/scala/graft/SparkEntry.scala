@@ -564,15 +564,19 @@ object SparkEntry {
         .as[(Long, String)].collect().sortBy(_._1)
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val sink = s"stream_dedup_sink_${System.nanoTime}" // unique per invocation
+      // checkpoint on tmpfs (same scratch policy as the round-trip
+      // queries): without the option Spark places the offset/commit
+      // log + state store under java.io.tmpdir — real disk writes
+      // and fsyncs per micro-batch that are pure overhead for this
+      // in-session query (guide §6 I/O placement; no result change).
+      // An EXPLICIT location disables Spark's delete-on-stop, so the
+      // dir is removed in the finally below — RAM-backed leftovers
+      // must not outlive the invocation.
+      val ckpt = scratchDir("ckpt_q")
       val q = streaming.StreamingIngest.streamingDedup(mem.toDF.toDF("doc_id", "text"))
         .toDF("h", "keeper")
         .writeStream.format("memory").queryName(sink).outputMode("append")
-        // checkpoint on tmpfs (same scratch policy as the round-trip
-        // queries): without the option Spark places the offset/commit
-        // log + state store under java.io.tmpdir — real disk writes
-        // and fsyncs per micro-batch that are pure overhead for this
-        // in-session query (guide §6 I/O placement; no result change)
-        .option("checkpointLocation", scratchDir("ckpt_q"))
+        .option("checkpointLocation", ckpt)
         .start()
       try {
         // ceiling division: floor would spill a 4th one-row batch
@@ -581,7 +585,15 @@ object SparkEntry {
           mem.addData(chunk.toIndexedSeq: _*)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        scala.util.Try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }
       // materialize, then DROP the memory sink — it retains every
       // output row in driver memory for the session's lifetime
       val rows = s.table(sink).as[(String, Long)].collect().toSeq

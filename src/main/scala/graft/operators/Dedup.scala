@@ -56,7 +56,15 @@ object Dedup {
     * identifies ONE row — the documents-table contract. Rows sharing a
     * doc_id are shingled independently here, where the old global
     * distinct merged them. */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    shinglesWithSize(docs, n).select("doc_id", "shingle")
+
+  /** (doc_id, sz, shingle) — the distinct-shingle emitter with the
+    * doc's distinct-shingle COUNT riding on every row (so consumers
+    * that need per-doc sizes, like [[ngramJaccardPairs]], get them
+    * join-free). ONE emitter behind every shingle consumer — the
+    * per-doc LinkedHashSet distinct/order logic exists exactly once. */
+  private[operators] def shinglesWithSize(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
@@ -65,13 +73,14 @@ object Dedup {
         rows.flatMap { case (id, text) =>
           val seen = new java.util.LinkedHashSet[String]()
           eachShingle(text, n)(sh => { seen.add(sh); () })
+          val sz = seen.size.toLong
           val it = seen.iterator()
-          new Iterator[(Long, String)] {
+          new Iterator[(Long, Long, String)] {
             def hasNext: Boolean = it.hasNext
-            def next(): (Long, String) = (id, it.next())
+            def next(): (Long, Long, String) = (id, sz, it.next())
           }
         }
-      }.toDF("doc_id", "shingle")
+      }.toDF("doc_id", "sz", "shingle")
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ `thr` via inverted-index
@@ -104,31 +113,20 @@ object Dedup {
     // a sizes table (the old shape re-scanned the source for sizes and
     // joined it twice). sz is a pure function of doc_id, so grouping
     // pairs by (a, na, b, nb) below groups exactly by (a, b).
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          val seen = new java.util.LinkedHashSet[String]()
-          eachShingle(text, n)(s => { seen.add(s); () })
-          val sz = seen.size.toLong
-          val it = seen.iterator()
-          new Iterator[(Long, Long, String)] {
-            def hasNext: Boolean = it.hasNext
-            def next(): (Long, Long, String) = (id, sz, it.next())
-          }
-        }
-      }.toDF("doc_id", "sz", "shingle")
+    // dropHotKeys stays AHEAD of the posting-list build: it enforces
+    // the df > maxDf cap with a constant-memory count + anti-join, so
+    // no collect_list buffer ever holds a hot shingle's full posting
+    // list (the cap's whole point is bounding that); with the cap
+    // applied, every surviving list is ≤ maxDf entries.
+    val cold = dropHotKeys(shinglesWithSize(docs, n), Seq("shingle"), maxDf)
     // ONE exchange builds the inverted index (shingle → posting list);
-    // the hot-shingle cap is the same size(postings) > maxDf test the
-    // old dropHotKeys agg + anti-join computed in two extra passes,
-    // and pair generation walks each cold posting list directly
-    // instead of re-shuffling every (doc, shingle) row through a
-    // self-join. Pair SET and per-pair `common` counts are identical:
-    // a pair is emitted once per shared cold shingle either way (the
-    // posting list is sorted first, so a < b like the join's filter).
-    sh.groupBy(col("shingle"))
+    // pair generation walks each cold posting list directly instead of
+    // re-shuffling every (doc, shingle) row through a self-join. Pair
+    // SET and per-pair `common` counts are identical: a pair is
+    // emitted once per shared cold shingle either way (the posting
+    // list is sorted first, so a < b like the join's filter).
+    cold.groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
       .select(col("ids")).as[Seq[(Long, Long)]]
       .mapPartitions { lists =>
         lists.flatMap { ids0 =>
@@ -155,24 +153,6 @@ object Dedup {
         floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("jac_milli") >= thrMilli)
       .select("a", "b", "common", "na", "nb", "jac_milli")
-  }
-
-  /** (doc_id, sz) distinct-shingle counts — the narrow companion pass
-    * of [[shingles]] (no shuffle; [[eachShingle]] tokenization, so the
-    * two cannot drift). */
-  def shingleCounts(docs: DataFrame, n: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, text) =>
-          val seen = new java.util.HashSet[String]()
-          if (eachShingle(text, n)(sh => { seen.add(sh); () }))
-            Iterator.single((id, seen.size.toLong))
-          else Iterator.empty
-        }
-      }.toDF("doc_id", "sz")
   }
 
   /** Skew guard shared by every bucket/band equi-join in the dedup/ANN

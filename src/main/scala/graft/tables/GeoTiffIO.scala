@@ -396,19 +396,25 @@ object GeoTiffIO {
     tiles.foreachPartition { (it: Iterator[ConfTile]) =>
       if (it.hasNext) {
         val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(bc.value.value)
-        // local/checksum filesystems otherwise write a .crc sibling
-        // per .tif (double the file count + a CRC pass over every
-        // payload byte); the TIFF bytes are unchanged and the
-        // binaryFile re-scan never reads .crc files
-        fs.setWriteChecksum(false)
-        fs.mkdirs(base)
-        it.foreach { t =>
-          val p = new org.apache.hadoop.fs.Path(base,
-            s"r${t.region}_c${t.classIdx}_t${t.tileId}.tif")
-          val out = fs.create(p, true)
-          try out.write(write(t, deflate = deflate)) finally out.close()
-        }
+        // a PRIVATE FileSystem instance (not the JVM-wide cached one):
+        // checksum filesystems otherwise write a .crc sibling per .tif
+        // (double the file count + a CRC pass over every payload byte)
+        // that the binaryFile re-scan never reads — but flipping
+        // setWriteChecksum on the SHARED cached instance would leak the
+        // setting into every other file:// writer in the session, so
+        // the instance is scoped to this task and closed.
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          base.toUri, bc.value.value)
+        try {
+          fs.setWriteChecksum(false)
+          fs.mkdirs(base)
+          it.foreach { t =>
+            val p = new org.apache.hadoop.fs.Path(base,
+              s"r${t.region}_c${t.classIdx}_t${t.tileId}.tif")
+            val out = fs.create(p, true)
+            try out.write(write(t, deflate = deflate)) finally out.close()
+          }
+        } finally fs.close()
       }
     }
   }
