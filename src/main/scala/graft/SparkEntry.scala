@@ -586,8 +586,11 @@ object SparkEntry {
           q.processAllAvailable()
         }
       } finally {
-        q.stop()
-        scala.util.Try {
+        // stop() may itself throw (stopTimeout, failed query) — the
+        // RAM-backed checkpoint must be deleted regardless, without
+        // masking the original exception
+        try q.stop()
+        finally scala.util.Try {
           val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
           try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })

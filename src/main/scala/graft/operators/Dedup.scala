@@ -119,36 +119,49 @@ object Dedup {
     // list (the cap's whole point is bounding that); with the cap
     // applied, every surviving list is ≤ maxDf entries.
     val cold = dropHotKeys(shinglesWithSize(docs, n), Seq("shingle"), maxDf)
-    // ONE exchange builds the inverted index (shingle → posting list);
-    // pair generation walks each cold posting list directly instead of
-    // re-shuffling every (doc, shingle) row through a self-join. Pair
-    // SET and per-pair `common` counts are identical: a pair is
-    // emitted once per shared cold shingle either way (the posting
-    // list is sorted first, so a < b like the join's filter).
-    cold.groupBy(col("shingle"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
-      .select(col("ids")).as[Seq[(Long, Long)]]
-      .mapPartitions { lists =>
-        lists.flatMap { ids0 =>
-          val ids = ids0.toArray.sortBy(_._1)
-          new Iterator[(Long, Long, Long, Long)] {
-            private var i = 0
-            private var j = 1
-            def hasNext: Boolean = i < ids.length - 1
-            def next(): (Long, Long, Long, Long) = {
-              val p = (ids(i)._1, ids(j)._1, ids(i)._2, ids(j)._2)
-              j += 1
-              if (j >= ids.length) { i += 1; j = i + 1 }
-              p
+    // With a cap: ONE exchange builds the ≤ maxDf posting lists and
+    // pair generation walks each list directly instead of re-shuffling
+    // every (doc, shingle) row through a self-join. Pair SET and
+    // per-pair `common` counts are identical: a pair is emitted once
+    // per shared cold shingle either way (the posting list is sorted
+    // first, so a < b like the join's filter). UNCAPPED (the opt-in
+    // default) falls back to the streaming self-join shape — it
+    // produces the same d² pairs but never buffers a whole posting
+    // list in one aggregation row, which an unbounded collect_list
+    // would (the cap is what makes the list shape memory-safe).
+    val pairs =
+      if (maxDf == Int.MaxValue)
+        cold.as("l").join(cold.as("r"), col("l.shingle") === col("r.shingle"))
+          .filter(col("l.doc_id") < col("r.doc_id"))
+          .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+            col("l.sz").as("na"), col("r.sz").as("nb"))
+          .agg(count(lit(1)).as("common"))
+      else
+        cold.groupBy(col("shingle"))
+          .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ids"))
+          .select(col("ids")).as[Seq[(Long, Long)]]
+          .mapPartitions { lists =>
+            lists.flatMap { ids0 =>
+              val ids = ids0.toArray.sortBy(_._1)
+              new Iterator[(Long, Long, Long, Long)] {
+                private var i = 0
+                private var j = 1
+                def hasNext: Boolean = i < ids.length - 1
+                def next(): (Long, Long, Long, Long) = {
+                  val p = (ids(i)._1, ids(j)._1, ids(i)._2, ids(j)._2)
+                  j += 1
+                  if (j >= ids.length) { i += 1; j = i + 1 }
+                  p
+                }
+              }
             }
-          }
-        }
-      }.toDF("a", "b", "na", "nb")
-      // strict a < b exactly like the old join's filter: a degenerate
-      // input with repeated doc_ids must not emit (x, x) pairs
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("common"))
+          }.toDF("a", "b", "na", "nb")
+          // strict a < b exactly like the join's filter: a degenerate
+          // input with repeated doc_ids must not emit (x, x) pairs
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("common"))
+    pairs
       .withColumn("jac_milli",
         floor(lit(1000) * col("common") / (col("na") + col("nb") - col("common"))).cast("long"))
       .filter(col("jac_milli") >= thrMilli)

@@ -12,8 +12,9 @@ import graft.operators.CrownOps.mix64
   * for "few queries × huge corpus"); random-hyperplane LSH bucketing is
   * the scale path for all-pairs workloads (candidates via bucket
   * equi-join, exactly like the cell-index spatial joins).
-  * Dot products use `aggregate`/`zip_with` higher-order functions —
-  * no UDF on the hot path.
+  * Dot products run through the codegen'd [[graft.functions.DotProduct]]
+  * expression (float/double arrays; bit-identical to the former
+  * `aggregate`/`zip_with` HOF fold) — no UDF on the hot path.
   */
 object Similarity {
 

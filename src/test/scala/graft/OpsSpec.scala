@@ -523,4 +523,32 @@ class OpsSpec extends AnyFunSuite {
       !col("text").contains(col("md5_ref"))).count()
     assert(bad === 0L)
   }
+  test("rasterizeMaxInto is pixel-identical to rasterize + max blend on random polygons") {
+    import graft.geom.Raster
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { trial =>
+      val rows = 16 + rnd.nextInt(48); val cols = 16 + rnd.nextInt(48)
+      val nv = 3 + rnd.nextInt(6)
+      // random polygon, sometimes partially outside the mask window
+      val cx = rnd.nextDouble() * cols; val cy = rnd.nextDouble() * rows
+      val poly = Array.tabulate(2 * nv) { k =>
+        val a = math.Pi * 2 * (k / 2) / nv
+        val r = 1.0 + rnd.nextDouble() * 14
+        if (k % 2 == 0) cx + r * math.cos(a) else cy + r * math.sin(a)
+      }
+      val v = (1 + rnd.nextInt(255)).toByte
+      val pre = Array.fill[Byte](rows * cols)((rnd.nextInt(3) * 60).toByte)
+      // reference: full-mask rasterize then explicit max blend
+      val ref = pre.clone()
+      val m = Raster.rasterize(poly, rows, cols)
+      var i = 0
+      while (i < m.length) {
+        if (m(i) != 0 && (ref(i) & 0xff) < (v & 0xff)) ref(i) = v
+        i += 1
+      }
+      val got = pre.clone()
+      Raster.rasterizeMaxInto(poly, rows, cols, got, v)
+      assert(java.util.Arrays.equals(ref, got), s"trial $trial diverged")
+    }
+  }
 }
