@@ -752,7 +752,13 @@ object SparkEntry {
     // bbox-window crop of the class-confidence mosaic with pixels
     // outside the crown polygon zeroed; hash stands in for the bytes
     "crowns_extract" -> ((s, dir) => {
+      // kept feeds BOTH the mosaic and the crop join — without the
+      // eager localCheckpoint the synthesize+NMS subtree runs twice
+      // (Spark plans share no work across Dataset branches); blocks
+      // are computed fresh per invocation and freed by the
+      // ContextCleaner (the TrainingPipeline pattern)
       val kept = CrownOps.nms(s, region0Crowns(s, dir), iouThr = 0.7)
+        .localCheckpoint()
       val tiles = RasterOps.mosaic(s,
         RasterOps.confidenceTiles(s, kept, GeoOps.TileGrid.Default), GeoOps.TileGrid.Default)
       RasterOps.extractCrops(s, kept, tiles, GeoOps.TileGrid.Default).toDF()
@@ -761,7 +767,10 @@ object SparkEntry {
           xxhash64(col("crop")).as("crop_hash"))
     }),
     "raster_metrics" -> ((s, dir) => {
-      val all = region0Crowns(s, dir)
+      // `all` feeds the truth mosaic AND (through NMS) the pred
+      // mosaic — checkpoint so crown synthesis runs once per
+      // invocation (see crowns_extract)
+      val all = region0Crowns(s, dir).localCheckpoint()
       val kept = CrownOps.nms(s, all, iouThr = 0.7)
       val pred = RasterOps.mosaic(s,
         RasterOps.confidenceTiles(s, kept, GeoOps.TileGrid.Default), GeoOps.TileGrid.Default)
